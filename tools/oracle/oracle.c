@@ -1,0 +1,173 @@
+/* Oracle dumper: runs the reference SoundSwallower C library and dumps
+ * intermediate values (MFCC frames, feature vectors, senone scores,
+ * alignment JSON) as raw binary + JSON for parity testing of the TPU
+ * reimplementation.  Test-tooling only; not part of the framework.
+ *
+ * Usage:
+ *   oracle <modeldir> <rawfile> <outdir> [align_text...]
+ *
+ * Outputs in <outdir>:
+ *   mfcc.f32      [n_frames x ncep] float32 cepstra (before CMN)
+ *   feat.f32      [n_frames x 39]   float32 features (after CMN/delta/subvec)
+ *   senscr.i16    [n_frames x n_sen] int16 senone scores (compallsen mode)
+ *   result.json   alignment JSON (align_level=2) if align_text given
+ *   segs.txt      word segs from pass-1 FSG search: word sf ef ascr lscr
+ */
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <soundswallower/decoder.h>
+#include <soundswallower/fe.h>
+#include <soundswallower/feat.h>
+#include <soundswallower/acmod.h>
+#include <soundswallower/configuration.h>
+
+static void *read_file(const char *path, size_t *len) {
+    FILE *fh = fopen(path, "rb");
+    void *data;
+    if (fh == NULL) { perror(path); exit(1); }
+    fseek(fh, 0, SEEK_END);
+    *len = ftell(fh);
+    fseek(fh, 0, SEEK_SET);
+    data = malloc(*len);
+    if (fread(data, 1, *len, fh) != *len) { perror(path); exit(1); }
+    fclose(fh);
+    return data;
+}
+
+int main(int argc, char *argv[]) {
+    const char *modeldir, *rawfile, *outdir;
+    char path[4096], json[4096];
+    config_t *config;
+    decoder_t *d;
+    int16 *raw;
+    size_t raw_len, n_samps;
+    FILE *out;
+    int i, nfr;
+
+    if (argc < 4) {
+        fprintf(stderr, "usage: %s <modeldir> <rawfile> <outdir> [align_text]\n", argv[0]);
+        return 1;
+    }
+    modeldir = argv[1];
+    rawfile = argv[2];
+    outdir = argv[3];
+
+    if (argc > 5)
+        snprintf(json, sizeof(json), "{\"hmm\": \"%s\", \"samprate\": %d}",
+                 modeldir, atoi(argv[5]));
+    else
+        snprintf(json, sizeof(json), "{\"hmm\": \"%s\"}", modeldir);
+    config = config_parse_json(NULL, json);
+    d = decoder_init(config);
+    if (d == NULL) { fprintf(stderr, "decoder_init failed\n"); return 1; }
+
+    raw = read_file(rawfile, &raw_len);
+    n_samps = raw_len / 2;
+
+    /* Pass A: dump MFCC via acmod's fe directly (mirror
+     * acmod_process_full_raw's fe_process + fe_end sequence). */
+    {
+        fe_t *fe = d->acmod->fe;
+        int16 *rp = raw;
+        size_t ns = n_samps;
+        int ncep = fe_get_output_size(fe);
+        mfcc_t **cep;
+        int nalloc = fe_process_int16(fe, NULL, &ns, NULL, 0);
+        cep = (mfcc_t **)ckd_calloc_2d(nalloc, ncep, sizeof(**cep));
+        fe_start(fe);
+        nfr = fe_process_int16(fe, &rp, &ns, cep, nalloc);
+        nfr += fe_end(fe, cep + nfr, nalloc - nfr);
+        snprintf(path, sizeof(path), "%s/mfcc.f32", outdir);
+        out = fopen(path, "wb");
+        for (i = 0; i < nfr; i++)
+            fwrite(cep[i], sizeof(mfcc_t), ncep, out);
+        fclose(out);
+        printf("mfcc: %d frames x %d\n", nfr, ncep);
+        ckd_free_2d(cep);
+    }
+
+    /* Pass B: full decode with align text (or <sil> placeholder), dumping
+     * features and senone scores. */
+    {
+        const char *text = argc > 4 ? argv[4] : NULL;
+        int16 *rp = raw;
+        int n_sen = d->acmod->mdef ? bin_mdef_n_sen(d->acmod->mdef) : 0;
+        FILE *feat_out, *sen_out;
+
+        if (text) {
+            if (decoder_set_align_text(d, text) < 0) {
+                fprintf(stderr, "set_align_text failed\n");
+                return 1;
+            }
+        }
+        decoder_start_utt(d);
+        decoder_process_int16(d, raw, n_samps, FALSE, TRUE);
+        decoder_end_utt(d);
+
+        /* Features are retained in the acmod buffer (grow mode). */
+        snprintf(path, sizeof(path), "%s/feat.f32", outdir);
+        feat_out = fopen(path, "wb");
+        acmod_rewind(d->acmod);
+        nfr = 0;
+        while (d->acmod->n_feat_frame > 0) {
+            mfcc_t **frame = acmod_get_frame(d->acmod, NULL);
+            int s;
+            if (frame == NULL) break;
+            /* subvec projected: 3 streams x 13 */
+            for (s = 0; s < feat_dimension1(d->acmod->fcb); s++)
+                fwrite(frame[s], sizeof(mfcc_t),
+                       feat_dimension2(d->acmod->fcb, s), feat_out);
+            acmod_advance(d->acmod);
+            nfr++;
+        }
+        fclose(feat_out);
+        printf("feat: %d frames\n", nfr);
+
+        /* Senone scores in compallsen mode over the same features. */
+        acmod_rewind(d->acmod);
+        d->acmod->compallsen = TRUE;
+        snprintf(path, sizeof(path), "%s/senscr.i16", outdir);
+        sen_out = fopen(path, "wb");
+        nfr = 0;
+        while (d->acmod->n_feat_frame > 0) {
+            int frame_idx = d->acmod->output_frame;
+            int16 const *scr = acmod_score(d->acmod, &frame_idx);
+            if (scr == NULL) break;
+            fwrite(scr, sizeof(int16), n_sen, sen_out);
+            acmod_advance(d->acmod);
+            nfr++;
+        }
+        fclose(sen_out);
+        d->acmod->compallsen = FALSE;
+        printf("senscr: %d frames x %d\n", nfr, n_sen);
+
+        if (text) {
+            seg_iter_t *seg;
+            const char *jsonres;
+            /* First-pass word segs */
+            snprintf(path, sizeof(path), "%s/segs.txt", outdir);
+            out = fopen(path, "w");
+            for (seg = decoder_seg_iter(d); seg; seg = seg_iter_next(seg)) {
+                int sf, ef;
+                int32 ascr, lscr;
+                seg_iter_frames(seg, &sf, &ef);
+                seg_iter_prob(seg, &ascr, &lscr);
+                fprintf(out, "%s %d %d %d %d\n", seg_iter_word(seg),
+                        sf, ef, ascr, lscr);
+            }
+            fclose(out);
+            /* Two-pass alignment JSON */
+            jsonres = decoder_result_json(d, 0.0, 2);
+            snprintf(path, sizeof(path), "%s/result.json", outdir);
+            out = fopen(path, "w");
+            if (jsonres) fputs(jsonres, out);
+            fclose(out);
+            printf("hyp: %s\n", decoder_hyp(d, NULL));
+        }
+    }
+
+    decoder_free(d);
+    free(raw);
+    return 0;
+}
