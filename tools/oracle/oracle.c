@@ -105,6 +105,14 @@ int main(int argc, char *argv[]) {
         decoder_process_int16(d, raw, n_samps, FALSE, TRUE);
         decoder_end_utt(d);
 
+        /* Exact CMN mean used for this utterance. */
+        {
+            cmn_t *cm = d->acmod->fcb->cmn_struct;
+            snprintf(path, sizeof(path), "%s/cmn_mean.f32", outdir);
+            out = fopen(path, "wb");
+            fwrite(cm->cmn_mean, sizeof(mfcc_t), cm->veclen, out);
+            fclose(out);
+        }
         /* Features are retained in the acmod buffer (grow mode). */
         snprintf(path, sizeof(path), "%s/feat.f32", outdir);
         feat_out = fopen(path, "wb");
