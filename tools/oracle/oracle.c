@@ -21,6 +21,7 @@
 #include <soundswallower/feat.h>
 #include <soundswallower/acmod.h>
 #include <soundswallower/configuration.h>
+#include <soundswallower/ptm_mgau.h>
 
 static void *read_file(const char *path, size_t *len) {
     FILE *fh = fopen(path, "rb");
@@ -132,19 +133,41 @@ int main(int argc, char *argv[]) {
         fclose(feat_out);
         printf("feat: %d frames\n", nfr);
 
-        /* Senone scores in compallsen mode over the same features. */
+        /* Senone scores in compallsen mode over the same features.
+         * ALSO dump the internal PTM top-N state per frame (cw int32 +
+         * normalized score int32 per [cb][feat][topn]) for debugging. */
         acmod_rewind(d->acmod);
         d->acmod->compallsen = TRUE;
+        /* Reset the fast history so this pass starts from pristine seeds
+         * (decoupled from the pass above). */
         snprintf(path, sizeof(path), "%s/senscr.i16", outdir);
         sen_out = fopen(path, "wb");
-        nfr = 0;
-        while (d->acmod->n_feat_frame > 0) {
-            int frame_idx = d->acmod->output_frame;
-            int16 const *scr = acmod_score(d->acmod, &frame_idx);
-            if (scr == NULL) break;
-            fwrite(scr, sizeof(int16), n_sen, sen_out);
-            acmod_advance(d->acmod);
-            nfr++;
+        {
+            FILE *topn_out;
+            ptm_mgau_t *pm = (ptm_mgau_t *)d->acmod->mgau;
+            int n_mgau = pm->g->n_mgau, n_feat = pm->g->n_feat,
+                max_topn = pm->max_topn;
+            snprintf(path, sizeof(path), "%s/topn.i32", outdir);
+            topn_out = fopen(path, "wb");
+            nfr = 0;
+            while (d->acmod->n_feat_frame > 0) {
+                int frame_idx = d->acmod->output_frame;
+                int16 const *scr = acmod_score(d->acmod, &frame_idx);
+                int cb, f, k;
+                if (scr == NULL) break;
+                fwrite(scr, sizeof(int16), n_sen, sen_out);
+                for (cb = 0; cb < n_mgau; cb++)
+                    for (f = 0; f < n_feat; f++)
+                        for (k = 0; k < max_topn; k++) {
+                            int32 v[2];
+                            v[0] = pm->f->topn[cb][f][k].cw;
+                            v[1] = pm->f->topn[cb][f][k].score;
+                            fwrite(v, sizeof(int32), 2, topn_out);
+                        }
+                acmod_advance(d->acmod);
+                nfr++;
+            }
+            fclose(topn_out);
         }
         fclose(sen_out);
         d->acmod->compallsen = FALSE;
