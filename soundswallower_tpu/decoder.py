@@ -1,0 +1,371 @@
+"""Decoder: the public facade (reference: src/decoder.c + acmod.c glue).
+
+Wires together config -> front end -> features -> senone scoring -> FSG
+beam search, and the two-pass forced alignment protocol
+(decoder_alignment, decoder.c:737-798: pass-1 word segs constrain the
+pass-2 state-align search windows).  Also hosts the senone-active
+bookkeeping (acmod_activate_hmm / acmod_flags2list with 255-delta
+bridging, acmod.c:905-999) and the line-JSON result writer
+(decoder_result_json, decoder.c:1502-1593).
+
+This is the exactness path (host search over TPU-scored frames can be
+enabled later; the batch TPU pipeline lives in ops/ and parallel/).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .align import Alignment
+from .am import AcousticModel
+from .config import Config
+from .dict2pid import Dict2Pid
+from .dictionary import Dictionary
+from .fe.feat import feats_full_utt_np
+from .fe.frontend import Frontend
+from .fsg import FsgModel
+from .jsgf import Jsgf
+from .logmath import LogMath
+from .ops.senscore import ScorerNp
+from .search_align import StateAlignSearch
+from .search_fsg import FsgSearch
+
+
+def senone_flags2list(active: set[int]) -> np.ndarray:
+    """acmod_flags2list (acmod.c:947-999): evaluated senone ids, including
+    the 255-delta "bridge" senones inserted for large gaps."""
+    out = []
+    l = 0
+    for sen in sorted(active):
+        delta = sen - l
+        while delta > 255:
+            l += 255
+            out.append(l)
+            delta -= 255
+        out.append(sen)
+        l = sen
+    return np.asarray(out, dtype=np.int64)
+
+
+class Decoder:
+    def __init__(self, config: Config | dict | None = None, **kwargs):
+        if config is None:
+            config = Config(**kwargs)
+        elif not isinstance(config, Config):
+            config = Config(config)
+        self.config = config
+        config.expand()
+        self.lmath = LogMath(config.get_float("logbase"), 0, True)
+        self.am = AcousticModel.load(config, self.lmath)
+        self.dict = Dictionary(
+            self.am.mdef, config["dict"], config["fdict"],
+            config.get_bool("dictcase"),
+        )
+        self.d2p = Dict2Pid(self.am.mdef, self.dict)
+        self.fe = Frontend(
+            sampling_rate=config.get_int("samprate"),
+            frame_rate=config.get_int("frate"),
+            window_length=config.get_float("wlen"),
+            fft_size=config.get_int("nfft"),
+            num_cepstra=config.get_int("ncep"),
+            num_filters=config.get_int("nfilt"),
+            lower_filt_freq=config.get_float("lowerf"),
+            upper_filt_freq=config.get_float("upperf"),
+            pre_emphasis_alpha=config.get_float("alpha"),
+            lifter_val=config.get_int("lifter"),
+            transform=config["transform"],
+            remove_noise=config.get_bool("remove_noise"),
+            remove_dc=config.get_bool("remove_dc"),
+        )
+        self.scorer = ScorerNp(self.am)
+        self.search: FsgSearch | None = None
+        self.align_search: StateAlignSearch | None = None
+        self._feats: np.ndarray | None = None
+        self._senscr_cache: dict[int, np.ndarray] = {}
+        self.output_frame = 0
+        self._grammar_from_config()
+
+    # -- grammar setters (decoder.c:560-735) -------------------------------
+
+    def _grammar_from_config(self):
+        c = self.config
+        if c["fsg"]:
+            self.set_fsg_file(c["fsg"])
+        elif c["jsgf"]:
+            self.set_jsgf_file(c["jsgf"])
+
+    def set_fsg(self, fsg: FsgModel):
+        self.search = FsgSearch(fsg, self.config, self.am, self.dict,
+                                self.d2p, self.lmath)
+        self.align_search = None
+
+    def set_fsg_file(self, path: str):
+        fsg = FsgModel.read_fsg_file(path, self.lmath,
+                                     self.config.get_float("lw"))
+        self.set_fsg(fsg)
+
+    def set_jsgf_file(self, path: str):
+        jsgf = Jsgf.parse_file(path)
+        rule = jsgf.get_rule(self.config["toprule"]) if self.config["toprule"] \
+            else jsgf.default_rule()
+        fsg = jsgf.build_fsg(rule, self.lmath, self.config.get_float("lw"))
+        self.set_fsg(fsg)
+
+    def set_jsgf_string(self, text: str):
+        jsgf = Jsgf.parse_string(text)
+        rule = jsgf.get_rule(self.config["toprule"]) if self.config["toprule"] \
+            else jsgf.default_rule()
+        fsg = jsgf.build_fsg(rule, self.lmath, self.config.get_float("lw"))
+        self.set_fsg(fsg)
+
+    def set_align_text(self, text: str):
+        """decoder_set_align_text (decoder.c:685-735): linear word chain."""
+        words = text.split()
+        for w in words:
+            if self.dict.wordid(w) < 0:
+                raise KeyError(f"Unknown word {w}")
+        fsg = FsgModel(text, self.lmath, self.config.get_float("lw"),
+                       len(words) + 1)
+        for i, w in enumerate(words):
+            wid = fsg.word_add(w)
+            fsg.trans_add(i, i + 1, 0, wid)
+        fsg.start_state = 0
+        fsg.final_state = len(words)
+        self.set_fsg(fsg)
+
+    def add_word(self, word: str, phones: str, update: bool = True) -> int:
+        """decoder_add_word (decoder.c:800-877)."""
+        pron = []
+        for ph in phones.split():
+            pid = self.am.mdef.ciphone_id(ph)
+            if pid < 0:
+                raise KeyError(f"Unknown phone {ph}")
+            pron.append(pid)
+        wid = self.dict.add_word(word, pron)
+        if wid >= 0:
+            self.d2p.add_word(wid)
+        return wid
+
+    def lookup_word(self, word: str) -> str | None:
+        wid = self.dict.wordid(word)
+        if wid < 0:
+            return None
+        return " ".join(self.am.mdef.ciphone_str(p)
+                        for p in self.dict.prons[wid])
+
+    # -- utterance processing (full-utterance path) ------------------------
+
+    def start_utt(self):
+        if self.search is None:
+            raise RuntimeError("No search module initialized")
+        self._feats = None
+        self._senscr_cache = {}
+        self.output_frame = 0
+        self.scorer.start_utt()
+        self.search.start()
+        self.align_search = None
+
+    def process_raw(self, audio, no_search=False, full_utt=True):
+        """decoder_process_int16 full-utterance path (decoder.c:959-1031).
+
+        audio: int16 numpy array (or float32 in [-1,1) which is scaled by
+        32768 like fe_process_float32)."""
+        audio = np.asarray(audio)
+        if audio.dtype == np.int16:
+            sig = audio.astype(np.float32)
+        elif audio.dtype in (np.float32, np.float64):
+            sig = (audio.astype(np.float32) * np.float32(32768.0))
+        else:
+            raise TypeError(f"Unsupported audio dtype {audio.dtype}")
+        cep = self._fe_process(sig)
+        feats = feats_full_utt_np(cep, cmn_mode=self.config["cmn"])
+        self._feats = feats
+        if not no_search:
+            self._run_search()
+        return len(feats)
+
+    def _fe_process(self, sig: np.ndarray) -> np.ndarray:
+        n = len(sig)
+        nfr = self.fe.n_frames(n)
+        if nfr == 0:
+            return np.zeros((0, self.fe.num_cepstra), np.float32)
+        import jax.numpy as jnp
+
+        out = self.fe.mfcc(jnp.asarray(sig), n, nfr)
+        return np.asarray(out[:nfr])
+
+    def _score_frame(self, frame: int, search) -> np.ndarray:
+        """acmod_score equivalent with senone-active bookkeeping."""
+        if self.config.get_bool("compallsen"):
+            if frame in self._senscr_cache:
+                return self._senscr_cache[frame]
+            scr = self.scorer.frame_eval(self._feats[frame], frame, None, None)
+            self._senscr_cache = {frame: scr}
+            return scr
+        # fsg_search_sen_active clears the acmod bitvec each frame
+        # (acmod_clear_active, fsg_search.c:309-311)
+        self._active_vec = set(search.sen_active())
+        sens = senone_flags2list(self._active_vec)
+        mgau_active = np.zeros(self.am.n_mgau, bool)
+        mgau_active[self.am.sen2cb[sens]] = True
+        return self.scorer.frame_eval(self._feats[frame], frame,
+                                      mgau_active, sens)
+
+    def _run_search(self):
+        feats = self._feats
+        for t in range(len(feats)):
+            senscr = self._score_frame(t, self.search)
+            self.search.step(senscr, t)
+            self.output_frame = t + 1
+            self.scorer.frame_idx = t + 1
+
+    def end_utt(self):
+        self.search.finish()
+
+    @property
+    def n_frames(self) -> int:
+        return self.output_frame + 1
+
+    # -- results -----------------------------------------------------------
+
+    def hyp(self):
+        if self.align_search is not None:
+            return self.align_search.hyp()[0]
+        if self.search is None:
+            return None
+        return self.search.hyp()[0]
+
+    @property
+    def prob(self) -> int:
+        return 0  # fsg_search_prob without bestpath (fsg_search.c:1160-1162)
+
+    def seg_iter(self):
+        return self.search.seg_iter()
+
+    def alignment(self) -> Alignment | None:
+        """decoder_alignment (decoder.c:737-798): two-pass alignment."""
+        if self.align_search is not None and \
+                self.align_search.frame == self.output_frame:
+            return self.align_search.al
+        segs = self.search.seg_iter()
+        if not segs:
+            return None
+        al = Alignment(self.d2p)
+        prev_ef = -1
+        for seg in segs:
+            if seg["word"] is None:
+                continue
+            wid = self.dict.wordid(seg["word"])
+            if wid < 0:
+                continue
+            assert seg["sf"] == prev_ef + 1
+            prev_ef = seg["ef"]
+            al.add_word(wid, seg["sf"], seg["ef"] - seg["sf"] + 1)
+        al.populate()
+        sas = StateAlignSearch(self.am, al)
+        # acmod_rewind: replay buffered features through the second pass
+        self.scorer.frame_idx = 0
+        sas.start()
+        for t in range(self.output_frame):
+            senscr = self._score_frame_align(t, sas)
+            sas.step(senscr, t)
+            self.scorer.frame_idx = t + 1
+        if sas.finish() < 0:
+            return None
+        self.align_search = sas
+        return al
+
+    def _score_frame_align(self, frame: int, sas) -> np.ndarray:
+        if self.config.get_bool("compallsen"):
+            return self.scorer.frame_eval(self._feats[frame], frame, None, None)
+        # Reference quirk: only the FSG search ever calls
+        # acmod_clear_active, so during the second (state-align) pass the
+        # active-senone bitvec ACCUMULATES across frames, seeded with
+        # pass-1's final frame (state_align_search_step only activates,
+        # state_align_search.c:186-188).  Replicated for exact parity of
+        # per-frame normalization (and hence alignment scores).
+        self._active_vec |= sas.active_senones()
+        sens = senone_flags2list(self._active_vec)
+        mgau_active = np.zeros(self.am.n_mgau, bool)
+        mgau_active[self.am.sen2cb[sens]] = True
+        return self.scorer.frame_eval(self._feats[frame], frame,
+                                      mgau_active, sens)
+
+    # -- JSON result (decoder.c:1340-1593) ---------------------------------
+
+    def result_json(self, start: float = 0.0, align_level: int = 0) -> str:
+        lmath = self.lmath
+        frate = self.config.get_int("frate")
+        duration = self.n_frames / frate
+
+        def fmt(b, d, p, t):
+            return f'{{"b":{b:.3f},"d":{d:.3f},"p":{p:.3f},"t":"{t}"'
+
+        hyp = self.hyp() or ""
+        out = [fmt(start, duration, lmath.exp(self.prob), hyp)]
+        out.append(',"w":[')
+        if align_level:
+            al = self.alignment()
+            if al is None:
+                return None
+            first = True
+            for i, went in enumerate(al.words):
+                if not first:
+                    out.append(",")
+                first = False
+                out.append(fmt(start + went.start / frate,
+                               went.duration / frate,
+                               lmath.exp(went.score),
+                               self.dict.wordstr(went.id)))
+                out.append(',"w":[')
+                phones = [(j, p) for j, p in enumerate(al.phones)
+                          if p.parent == i]
+                pfirst = True
+                for j, pent in phones:
+                    if not pfirst:
+                        out.append(",")
+                    pfirst = False
+                    out.append(fmt(start + pent.start / frate,
+                                   pent.duration / frate,
+                                   lmath.exp(pent.score),
+                                   self.am.mdef.ciphone_str(pent.id[0])))
+                    if align_level > 1:
+                        out.append(',"w":[')
+                        states = [s for s in al.states if s.parent == j]
+                        sfirst = True
+                        for sent in states:
+                            if not sfirst:
+                                out.append(",")
+                            sfirst = False
+                            out.append(fmt(start + sent.start / frate,
+                                           sent.duration / frate,
+                                           lmath.exp(sent.score),
+                                           str(sent.id)))
+                            out.append("}")
+                        out.append("]")
+                    out.append("}")
+                out.append("]}")
+        else:
+            first = True
+            for seg in self.seg_iter():
+                if not first:
+                    out.append(",")
+                first = False
+                word = seg["word"] or ""
+                out.append(fmt(start + seg["sf"] / frate,
+                               (seg["ef"] + 1 - seg["sf"]) / frate,
+                               lmath.exp(seg["prob"]), word))
+                out.append("}")
+        out.append("]}\n")
+        return "".join(out)
+
+    # -- CMN state (decoder.c:488-516) -------------------------------------
+
+    def get_cmn(self, update: bool = False) -> str:
+        from .fe.feat import cmn_batch_np
+        if self._feats is not None:
+            pass
+        return ""
+
+    def set_cmn(self, repr_str: str):
+        pass  # live-mode CMN state; full-utterance path recomputes per utt

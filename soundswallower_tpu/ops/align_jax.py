@@ -1,0 +1,220 @@
+"""TPU forced-alignment Viterbi over a phone graph.
+
+The reference aligns in two passes: an FSG beam search over a linear word
+chain with silence self-loops (fsg_search.c), then a constrained
+state-level Viterbi over the resulting word windows
+(state_align_search.c).  On TPU we recast this as ONE masked Viterbi DP
+over a *phone graph* built on the host (see graph builder in
+ops/align_graph.py): the word chain with optional silence phones between
+words, boundary-phone triphone variants for both context paths, and
+word/silence entry penalties mirroring the pass-1 FSG costs
+(wip/pip/silprob under the language weight).
+
+Single-pass global Viterbi over this graph finds the same optimum the
+two-pass heuristic converges to (pass-1 windows only constrain pass-2;
+empirically boundaries match bit-for-bit on the reference test set - see
+tests/test_align_tpu.py), in one fused jitted scan that runs entirely on
+device:
+
+* per-frame HMM update: vectorized hmm_vit_eval_3st over all phones
+  (exact int32 semantics of hmm.c:482-567, incl. WORST_SCORE clamps and
+  skip-transition handling)
+* cross-phone transitions via 2-predecessor gathers
+* score renormalization like state_align_search.c:193-197
+* token stack emitted per frame; backtrace as a reverse scan on device
+
+Shapes: P phones, 3 emitting states, T frames.  Batching over utterances
+is a vmap over the leading axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WORST_SCORE = -0x20000000
+TMAT_WORST = -255
+NEG_INF = jnp.int32(-2147483648)
+
+
+def _eval_3st(score, hist, out_score, out_hist, senscr, tp, active):
+    """Vectorized hmm_vit_eval_3st_lr over phones.
+
+    score [P,3] int32 (in,s1,s2), hist [P,3], out_score [P], out_hist [P],
+    senscr [P,3] int32 (non-negative senone scores), tp [P,3,4] int32
+    (quantized negated probs), active [P] bool.
+    Returns updated (score, hist, out_score, out_hist, best_per_phone).
+    """
+    i32 = jnp.int32
+
+    def tprob(i, j):
+        return -tp[:, i, j]
+
+    s0 = score[:, 0] + -senscr[:, 0]
+    s1 = score[:, 1] + -senscr[:, 1]
+    s2 = score[:, 2] + -senscr[:, 2]
+
+    worst = i32(WORST_SCORE)
+    best = jnp.full_like(s0, worst)
+
+    # --- state 3 (out, non-emitting) ---
+    # C quirk: t2 initialized once to INT_MIN and reused by the state-2
+    # block when the 0->2 skip is absent (hmm.c:497,552).
+    t2_init = NEG_INF
+    t1 = s2 + tprob(2, 3)
+    skip13 = tprob(1, 3) > TMAT_WORST
+    t2 = jnp.where(skip13, s1 + tprob(1, 3), t2_init)
+    s3 = jnp.where(t1 > t2, t1, t2)
+    new_out_hist = jnp.where(t1 > t2, hist[:, 2], hist[:, 1])
+    s3 = jnp.maximum(s3, worst)
+    do3 = active & (s1 > worst)
+    out_score = jnp.where(do3, s3, out_score)
+    out_hist = jnp.where(do3, new_out_hist, out_hist)
+    best = jnp.where(do3, s3, best)
+    t2_carry = jnp.where(skip13, s1 + tprob(1, 3), t2_init)
+
+    # --- state 2 ---
+    t0 = s2 + tprob(2, 2)
+    t1 = s1 + tprob(1, 2)
+    skip02 = tprob(0, 2) > TMAT_WORST
+    t2 = jnp.where(skip02, s0 + tprob(0, 2), t2_carry)
+    # if t0 > t1: (t2 > t0 ? from0 : stay2) else (t2 > t1 ? from0 : from1)
+    branch_a = t0 > t1
+    use_t2 = jnp.where(branch_a, t2 > t0, t2 > t1)
+    ns2 = jnp.where(use_t2, t2, jnp.where(branch_a, t0, t1))
+    nh2 = jnp.where(use_t2, hist[:, 0],
+                    jnp.where(branch_a, hist[:, 2], hist[:, 1]))
+    ns2 = jnp.maximum(ns2, worst)
+    best = jnp.maximum(best, jnp.where(active, ns2, worst))
+
+    # --- state 1 ---
+    t0 = s1 + tprob(1, 1)
+    t1 = s0 + tprob(0, 1)
+    ns1 = jnp.where(t0 > t1, t0, t1)
+    nh1 = jnp.where(t0 > t1, hist[:, 1], hist[:, 0])
+    ns1 = jnp.maximum(ns1, worst)
+    best = jnp.maximum(best, jnp.where(active, ns1, worst))
+
+    # --- state 0 ---
+    ns0 = jnp.maximum(s0 + tprob(0, 0), worst)
+    best = jnp.maximum(best, jnp.where(active, ns0, worst))
+
+    new_score = jnp.stack([ns0, ns1, ns2], axis=1)
+    new_hist = jnp.stack([hist[:, 0], nh1, nh2], axis=1)
+    score = jnp.where(active[:, None], new_score, score)
+    hist = jnp.where(active[:, None], new_hist, hist)
+    return score, hist, out_score, out_hist, best
+
+
+@partial(jax.jit, static_argnums=())
+def align_viterbi(senscr, senid, tp, pred1, pred2, pen1, pen2,
+                  astart, aend, n_frames):
+    """Run the masked Viterbi DP.
+
+    senscr [T, n_sen] int16/32 senone scores (0=best per frame)
+    senid [P, 3] int32, tp [P, 3, 4] int32
+    pred1/pred2 [P] int32 predecessor phone ids (-1 = none)
+    pen1/pen2 [P] int32 entry penalties (<= 0)
+    astart/aend [P] int32 active frame windows
+    n_frames: int32 actual frame count (T may be padded)
+
+    Returns (tok_id [T, P*3] int32, tok_score [T, P*3] int32,
+             final_out_score [P] int32, final_out_hist [P] int32).
+    """
+    T = senscr.shape[0]
+    P = senid.shape[0]
+    i32 = jnp.int32
+    worst = i32(WORST_SCORE)
+    sidx = (jnp.arange(P)[:, None] * 3 + jnp.arange(3)[None, :]).astype(i32)
+
+    def step(carry, t):
+        score, hist, out_score, out_hist, best_prev = carry
+        valid_frame = t < n_frames
+        active = (t >= astart) & (t <= aend) & valid_frame
+
+        # renormalize (state_align_search.c:193-197)
+        renorm = (best_prev - 0x300000) < worst
+        score = jnp.where(renorm & (score > worst), score - best_prev, score)
+
+        frame_senscr = senscr[t].astype(i32)
+        sen = frame_senscr[senid]  # [P,3]
+        score, hist, out_score, out_hist, bestv = _eval_3st(
+            score, hist, out_score, out_hist, sen, tp, active)
+        best = jnp.max(jnp.where(active, bestv, worst))
+
+        # phone transitions (phone_transition, state_align_search.c:108-133):
+        # a phone enters from a predecessor when the predecessor remains
+        # active into the next frame (survived its window).
+        nf = t + 1
+        active_next = active & (nf <= aend)
+        # gather predecessor outs
+        def pred_vals(pred, pen):
+            valid = pred >= 0
+            pi = jnp.maximum(pred, 0)
+            pact = active_next[pi] & valid
+            pout = jnp.where(pact, out_score[pi] + pen, worst)
+            phist = jnp.where(pact, out_hist[pi], -1)
+            return pout, phist, pact
+        p1_out, p1_hist, p1_act = pred_vals(pred1, pen1)
+        p2_out, p2_hist, p2_act = pred_vals(pred2, pen2)
+        ent_score = jnp.maximum(p1_out, p2_out)
+        ent_hist = jnp.where(p1_out >= p2_out, p1_hist, p2_hist)
+        can_enter = (p1_act | p2_act) & (nf >= astart) & (nf <= aend)
+        # C rule: enter if target was inactive, or entering score better
+        was_active = active
+        do_enter = can_enter & ((~was_active) | (ent_score > score[:, 0]))
+        score = score.at[:, 0].set(
+            jnp.where(do_enter, ent_score, score[:, 0]))
+        hist = hist.at[:, 0].set(jnp.where(do_enter, ent_hist, hist[:, 0]))
+
+        # record tokens (record_transitions, state_align_search.c:149-175).
+        # C records phones with hmm_frame >= frame_idx: active this frame
+        # OR freshly entered for the next frame.
+        recorded = active | do_enter
+        tok_id = jnp.where(recorded[:, None], hist, -1).reshape(P * 3)
+        tok_score = jnp.where(recorded[:, None], score, -1).reshape(P * 3)
+        hist = jnp.where(recorded[:, None], sidx, hist)
+
+        return (score, hist, out_score, out_hist, best), (tok_id, tok_score)
+
+    score0 = jnp.full((P, 3), worst, dtype=i32)
+    score0 = score0.at[0, 0].set(0)
+    hist0 = jnp.full((P, 3), -1, dtype=i32)
+    out0 = jnp.full((P,), worst, dtype=i32)
+    outh0 = jnp.full((P,), -1, dtype=i32)
+    carry0 = (score0, hist0, out0, outh0, i32(0))
+    (score, hist, out_score, out_hist, _), (tok_id, tok_score) = \
+        jax.lax.scan(step, carry0, jnp.arange(T, dtype=i32))
+    return tok_id, tok_score, out_score, out_hist
+
+
+@partial(jax.jit, static_argnums=())
+def backtrace(tok_id, tok_score, final_state, final_score, n_frames):
+    """Device backtrace: walk the token stack backwards.
+
+    Returns (path [T] int32 state ids active at each frame,
+             path_score [T] int32).  Frames >= n_frames hold -1.
+    Mirrors state_align_search_finish's walk (state_align_search.c:226-255):
+    the state at frame t is determined scanning from the last frame's
+    winner backwards through tok_id.
+    """
+    T = tok_id.shape[0]
+
+    def step(carry, t):
+        cur_id, cur_score = carry
+        # t runs T-1 .. 0; the "current" state covers frame t+1; token at
+        # frame t points to the state covering frame t.
+        in_range = t < n_frames - 1
+        nid = jnp.where(in_range, tok_id[t, cur_id], cur_id)
+        nscore = jnp.where(in_range, tok_score[t, cur_id], cur_score)
+        out = jnp.where(t < n_frames, cur_id, -1)
+        outs = jnp.where(t < n_frames, cur_score, -1)
+        return (nid, nscore), (out, outs)
+
+    (first_id, _), (path_rev, score_rev) = jax.lax.scan(
+        step, (final_state, final_score),
+        jnp.arange(T - 1, -1, -1, dtype=jnp.int32))
+    return path_rev[::-1], score_rev[::-1]

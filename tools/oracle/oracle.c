@@ -22,6 +22,7 @@
 #include <soundswallower/acmod.h>
 #include <soundswallower/configuration.h>
 #include <soundswallower/ptm_mgau.h>
+#include <soundswallower/state_align_search.h>
 
 static void *read_file(const char *path, size_t *len) {
     FILE *fh = fopen(path, "rb");
@@ -133,6 +134,82 @@ int main(int argc, char *argv[]) {
         fclose(feat_out);
         printf("feat: %d frames\n", nfr);
 
+
+
+        if (text) {
+            seg_iter_t *seg;
+            const char *jsonres;
+            /* First-pass word segs */
+            snprintf(path, sizeof(path), "%s/segs.txt", outdir);
+            out = fopen(path, "w");
+            for (seg = decoder_seg_iter(d); seg; seg = seg_iter_next(seg)) {
+                int sf, ef;
+                int32 ascr, lscr;
+                seg_iter_frames(seg, &sf, &ef);
+                seg_iter_prob(seg, &ascr, &lscr);
+                fprintf(out, "%s %d %d %d %d\n", seg_iter_word(seg),
+                        sf, ef, ascr, lscr);
+            }
+            fclose(out);
+            /* Pass-2 per-frame senone scores: replicate decoder_alignment's
+             * loop manually so we can dump acmod_score output. */
+            {
+                alignment_t *al = alignment_init(d->d2p);
+                search_module_t *align;
+                frame_idx_t ofr = d->acmod->output_frame;
+                FILE *p2;
+                seg_iter_t *s2;
+                int prev_ef = -1;
+                for (s2 = decoder_seg_iter(d); s2; s2 = seg_iter_next(s2)) {
+                    int32 wid2 = dict_wordid(d->dict, s2->word);
+                    if (wid2 != BAD_S3WID) {
+                        prev_ef = s2->ef;
+                        alignment_add_word(al, wid2, s2->sf, s2->ef - s2->sf + 1);
+                    }
+                }
+                alignment_populate(al);
+                align = state_align_search_init("_sa", d->config, d->acmod, al);
+                acmod_rewind(d->acmod);
+                search_module_start(align);
+                snprintf(path, sizeof(path), "%s/senscr_pass2.i16", outdir);
+                p2 = fopen(path, "wb");
+                while (d->acmod->output_frame < ofr) {
+                    /* mirror state_align_search_step's activation + score */
+                    int fi = d->acmod->output_frame;
+                    state_align_search_t *sas = (state_align_search_t *)align;
+                    int16 const *scr;
+                    int i2;
+                    for (i2 = 0; i2 < sas->n_phones; ++i2)
+                        if (hmm_frame(&sas->hmms[i2]) == fi)
+                            acmod_activate_hmm(d->acmod, &sas->hmms[i2]);
+                    scr = acmod_score(d->acmod, &fi);
+                    fwrite(scr, sizeof(int16), n_sen, p2);
+                    fwrite(&d->acmod->n_senone_active, sizeof(int32), 1, p2);
+                    /* now run the actual step (re-scores via memoized
+                     * senscr_frame? no: not compallsen, so it re-evaluates
+                     * -- but with the same active list, giving identical
+                     * results and identical state evolution) */
+                    search_module_step(align, d->acmod->output_frame);
+                    acmod_advance(d->acmod);
+                }
+                fclose(p2);
+                search_module_finish(align);
+                search_module_free(align);
+                acmod_rewind(d->acmod);
+                /* replay to restore output_frame for result_json */
+                while (d->acmod->output_frame < ofr)
+                    acmod_advance(d->acmod);
+                (void)prev_ef;
+            }
+            /* Two-pass alignment JSON */
+            jsonres = decoder_result_json(d, 0.0, 2);
+            snprintf(path, sizeof(path), "%s/result.json", outdir);
+            out = fopen(path, "w");
+            if (jsonres) fputs(jsonres, out);
+            fclose(out);
+            printf("hyp: %s\n", decoder_hyp(d, NULL));
+        }
+
         /* Senone scores in compallsen mode over the same features.
          * ALSO dump the internal PTM top-N state per frame (cw int32 +
          * normalized score int32 per [cb][feat][topn]) for debugging. */
@@ -173,29 +250,6 @@ int main(int argc, char *argv[]) {
         d->acmod->compallsen = FALSE;
         printf("senscr: %d frames x %d\n", nfr, n_sen);
 
-        if (text) {
-            seg_iter_t *seg;
-            const char *jsonres;
-            /* First-pass word segs */
-            snprintf(path, sizeof(path), "%s/segs.txt", outdir);
-            out = fopen(path, "w");
-            for (seg = decoder_seg_iter(d); seg; seg = seg_iter_next(seg)) {
-                int sf, ef;
-                int32 ascr, lscr;
-                seg_iter_frames(seg, &sf, &ef);
-                seg_iter_prob(seg, &ascr, &lscr);
-                fprintf(out, "%s %d %d %d %d\n", seg_iter_word(seg),
-                        sf, ef, ascr, lscr);
-            }
-            fclose(out);
-            /* Two-pass alignment JSON */
-            jsonres = decoder_result_json(d, 0.0, 2);
-            snprintf(path, sizeof(path), "%s/result.json", outdir);
-            out = fopen(path, "w");
-            if (jsonres) fputs(jsonres, out);
-            fclose(out);
-            printf("hyp: %s\n", decoder_hyp(d, NULL));
-        }
     }
 
     decoder_free(d);
