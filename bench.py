@@ -1,0 +1,61 @@
+"""Benchmark: forced-alignment throughput on the TPU fast path.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.json config 3): data-parallel batch of utterances
+aligned end-to-end on device (MFCC -> features -> dense senone scoring ->
+phone-graph Viterbi + backtrace).  Metric: audio-seconds processed per
+wall-clock second per chip, steady-state (post-compile), host segment
+extraction included.
+
+vs_baseline: ratio against the BASELINE.json north-star target of 1000x
+real time per chip (the reference publishes no numbers; its own xRT on
+this host's CPU is ~0.1-0.3 wall xRT, i.e. 3-10x real time).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main():
+    from soundswallower_tpu.aligner import TpuAligner
+
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+
+    raw = np.fromfile("/root/reference/tests/data/goforward.raw", dtype=np.int16)
+    text = "go forward ten meters"
+    audio_sec = len(raw) / 16000.0
+
+    al = TpuAligner(hmm="/root/reference/model/en-us")
+    audios = [raw] * batch
+    texts = [text] * batch
+
+    # warmup/compile
+    segs = al.align_batch(audios, texts)
+    assert segs[0][1].word in ("go", "<sil>")
+
+    t0 = time.time()
+    for _ in range(reps):
+        segs = al.align_batch(audios, texts)
+    dt = (time.time() - t0) / reps
+
+    value = audio_sec * batch / dt
+    out = {
+        "metric": "align_audio_seconds_per_second_per_chip",
+        "value": round(value, 1),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / 1000.0, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,237 @@
+"""TpuAligner: the high-throughput forced-alignment pipeline.
+
+End-to-end on device: audio -> MFCC (fe/frontend.py) -> dynamic features
+(fe/feat.py) -> dense senone scores (ops/senscore_jax.py) -> phone-graph
+Viterbi + backtrace (ops/align_jax.py), with host work limited to graph
+construction (cached per transcript) and segment extraction from the
+decoded state path.
+
+This is the single-pass equivalent of the reference's two-pass alignment
+(see ops/align_graph.py for the argument); `tests/test_align_tpu.py`
+checks boundary agreement against the exact two-pass path.
+
+Batching: `align_batch` pads utterances to a common frame count and
+vmaps scoring + Viterbi when all transcripts share one graph; mixed
+transcripts fall back to per-utterance dispatch (graph padding TODO).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .am import AcousticModel
+from .config import Config
+from .dict2pid import Dict2Pid
+from .dictionary import Dictionary
+from .fe.feat import feats_full_utt
+from .fe.frontend import Frontend
+from .logmath import LogMath
+from .ops.align_graph import AlignGraph, build_chain_graph
+from .ops.align_jax import WORST_SCORE, align_viterbi, backtrace
+from .ops.senscore_jax import ScorerTables, score_frames
+
+
+@dataclass
+class WordSeg:
+    word: str
+    start: int
+    duration: int
+    score: int = 0
+    phones: list | None = None  # list of (ciphone, start, duration, score)
+
+
+class TpuAligner:
+    def __init__(self, config: Config | None = None, **kwargs):
+        if config is None:
+            config = Config(**kwargs)
+        self.config = config
+        config.expand()
+        self.lmath = LogMath(config.get_float("logbase"), 0, True)
+        self.am = AcousticModel.load(config, self.lmath)
+        self.dict = Dictionary(self.am.mdef, config["dict"], config["fdict"],
+                               config.get_bool("dictcase"))
+        self.d2p = Dict2Pid(self.am.mdef, self.dict)
+        self.fe = Frontend(
+            sampling_rate=config.get_int("samprate"),
+            frame_rate=config.get_int("frate"),
+            window_length=config.get_float("wlen"),
+            fft_size=config.get_int("nfft"),
+            num_cepstra=config.get_int("ncep"),
+            num_filters=config.get_int("nfilt"),
+            lower_filt_freq=config.get_float("lowerf"),
+            upper_filt_freq=config.get_float("upperf"),
+            pre_emphasis_alpha=config.get_float("alpha"),
+            lifter_val=config.get_int("lifter"),
+            transform=config["transform"],
+            remove_noise=config.get_bool("remove_noise"),
+            remove_dc=config.get_bool("remove_dc"),
+        )
+        self.tables = ScorerTables.from_am(self.am)
+        self.tmat_i32 = jnp.asarray(self.am.tmat.astype(np.int32))
+        self._graph_cache: dict[str, AlignGraph] = {}
+
+    # -- graph -------------------------------------------------------------
+
+    def graph_for_text(self, text: str) -> AlignGraph:
+        g = self._graph_cache.get(text)
+        if g is None:
+            wids = []
+            for w in text.split():
+                wid = self.dict.wordid(w)
+                if wid < 0:
+                    raise KeyError(f"Unknown word {w}")
+                wids.append(wid)
+            g = build_chain_graph(wids, self.dict, self.d2p, self.am,
+                                  self.lmath, self.config)
+            self._graph_cache[text] = g
+        return g
+
+    # -- single utterance --------------------------------------------------
+
+    def align(self, audio: np.ndarray, text: str,
+              dist_mode: str = "fold") -> list[WordSeg]:
+        """Align one int16 utterance against a transcript."""
+        audio = np.asarray(audio)
+        if audio.dtype != np.int16:
+            raise TypeError("align expects int16 audio")
+        n = len(audio)
+        T = self.fe.n_frames(n)
+        # Pad the frame axis to a bucket so recompiles only happen per
+        # 128-frame size class, not per utterance length.
+        Tpad = max(128, -(-T // 128) * 128)
+        g = self.graph_for_text(text)
+        cep = self.fe.mfcc(jnp.asarray(audio.astype(np.float32)), n, Tpad)
+        feats = feats_full_utt(cep, jnp.int32(T), self.config["cmn"])
+        senscr = score_frames(self.tables, feats, dist_mode)
+        path, scores, final_sc = self._viterbi(g, senscr, jnp.int32(T))
+        return self._extract(g, np.asarray(path), np.asarray(scores), T,
+                             int(final_sc))
+
+    def _viterbi(self, g: AlignGraph, senscr, T: int):
+        entry = np.where(g.is_entry, g.entry_pen, WORST_SCORE).astype(np.int32)
+        tok_id, tok_score, out_score, out_hist = align_viterbi(
+            senscr, jnp.asarray(g.senid), self.tmat_i32[jnp.asarray(g.tmatid)],
+            jnp.asarray(g.edge_src), jnp.asarray(g.edge_dst),
+            jnp.asarray(g.edge_pen),
+            jnp.asarray(g.astart), jnp.asarray(g.aend),
+            T, jnp.asarray(entry))
+        fin = jnp.asarray(g.final_nodes)
+        fsc = out_score[fin]
+        best = jnp.argmax(fsc)
+        final_node = fin[best]
+        final_state = out_hist[final_node]
+        final_score = out_score[final_node]
+        path, scores = backtrace(tok_id, tok_score, final_state, final_score,
+                                 jnp.int32(T))
+        return path, scores, final_score
+
+    def _extract(self, g: AlignGraph, path, scores, T: int,
+                 final_score: int) -> list[WordSeg]:
+        """Decoded state path -> word/phone segments.
+
+        Follows state_align_search_finish's boundary rule
+        (state_align_search.c:236-255): a state's segment starts at the
+        frame after its backpointer changes.
+        """
+        if path[T - 1] < 0:
+            raise RuntimeError("Alignment failed to reach final state")
+        # State runs over the path.  Interior boundaries are shifted +1 to
+        # match the reference convention (state_align_search_finish uses
+        # ent->start = cur_frame + 1, state_align_search.c:247): the first
+        # segment absorbs one extra frame, the last loses one.
+        bounds = [0]
+        nodes_seq = []
+        for t in range(1, T):
+            if path[t] != path[t - 1]:
+                bounds.append(t + 1)  # +1: reference boundary convention
+                nodes_seq.append(int(path[t - 1]))
+        nodes_seq.append(int(path[T - 1]))
+        bounds.append(T)
+        phones: list[tuple[int, int, int, int]] = []  # node, start, dur, score
+        for i, st in enumerate(nodes_seq):
+            node = st // 3
+            start = bounds[i]
+            dur = bounds[i + 1] - bounds[i]
+            if dur <= 0:
+                continue
+            if phones and phones[-1][0] == node:
+                n0, s0, d0, sc0 = phones[-1]
+                phones[-1] = (n0, s0, d0 + dur, sc0)
+            else:
+                phones.append((node, start, dur, 0))
+        # group phone nodes into words
+        cur_word = None
+        cur = None
+        out: list[WordSeg] = []
+        for node, start, dur, sc in phones:
+            w = int(g.word_of[node])
+            ci = self.am.mdef.ciphone_str(int(g.cipid[node]))
+            if w < 0:
+                out.append(WordSeg("<sil>", start, dur,
+                                   phones=[(ci, start, dur, sc)]))
+                cur_word = None
+                continue
+            if cur_word != w:
+                cur = WordSeg(self.dict.wordstr(int(g.variant_of[node])),
+                              start, 0, phones=[])
+                out.append(cur)
+                cur_word = w
+            cur.duration += dur
+            cur.phones.append((ci, start, dur, sc))
+        return out
+
+    # -- batch -------------------------------------------------------------
+
+    def align_batch(self, audios: list[np.ndarray], texts: list[str],
+                    dist_mode: str = "fold") -> list[list[WordSeg]]:
+        """Batch alignment.  Same-transcript batches run fully vectorized
+        (vmap over scoring and Viterbi); mixed transcripts loop."""
+        if len(set(texts)) != 1:
+            return [self.align(a, t, dist_mode)
+                    for a, t in zip(audios, texts)]
+        g = self.graph_for_text(texts[0])
+        ns = np.array([len(a) for a in audios])
+        Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
+        N = int(ns.max())
+        Tmax = max(128, -(-int(Ts.max()) // 128) * 128)
+        buf = np.zeros((len(audios), N), np.float32)
+        for i, a in enumerate(audios):
+            buf[i, : len(a)] = a.astype(np.float32)
+        out = self._batch_jit(g, jnp.asarray(buf), jnp.asarray(ns),
+                              jnp.asarray(Ts), Tmax, dist_mode)
+        paths, scoress, final_sc = (np.asarray(x) for x in out)
+        return [
+            self._extract(g, paths[i], scoress[i], int(Ts[i]),
+                          int(final_sc[i]))
+            for i in range(len(audios))
+        ]
+
+    def _batch_jit(self, g: AlignGraph, buf, ns, Ts, Tmax: int,
+                   dist_mode: str):
+        entry = jnp.asarray(
+            np.where(g.is_entry, g.entry_pen, WORST_SCORE).astype(np.int32))
+        senid = jnp.asarray(g.senid)
+        tp = self.tmat_i32[jnp.asarray(g.tmatid)]
+        es, ed = jnp.asarray(g.edge_src), jnp.asarray(g.edge_dst)
+        ep = jnp.asarray(g.edge_pen)
+        ast, aen = jnp.asarray(g.astart), jnp.asarray(g.aend)
+        fin = jnp.asarray(g.final_nodes)
+
+        def one(audio, n, T):
+            cep = self.fe.mfcc(audio, n, Tmax)
+            feats = feats_full_utt(cep, T, self.config["cmn"])
+            senscr = score_frames(self.tables, feats, dist_mode)
+            tok_id, tok_score, out_score, out_hist = align_viterbi(
+                senscr, senid, tp, es, ed, ep, ast, aen, T, entry)
+            fsc = out_score[fin]
+            best = jnp.argmax(fsc)
+            final_node = fin[best]
+            path, sc = backtrace(tok_id, tok_score, out_hist[final_node],
+                                 out_score[final_node], T)
+            return path, sc, out_score[final_node]
+
+        return jax.vmap(one)(buf, ns, Ts)

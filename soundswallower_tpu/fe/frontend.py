@@ -173,7 +173,7 @@ class Frontend:
     sampling_rate: int = 16000
     frame_rate: int = 100
     window_length: float = 0.025625
-    fft_size: int = 512
+    fft_size: int = 0  # 0 = auto: next power of two >= frame_size
     num_cepstra: int = 13
     num_filters: int = 40
     lower_filt_freq: float = 133.33334

@@ -1,0 +1,236 @@
+"""Host-side phone-graph builder for the TPU single-pass aligner.
+
+The reference aligns in two passes (FSG chain decode + windowed state
+align).  The TPU path instead builds ONE phone graph capturing the same
+search space and runs global Viterbi over it (ops/align_jax.py):
+
+* the word chain, with every pronunciation variant of each word
+  (``fsgusealtpron`` behavior, fsg_search.c:145-170)
+* an optional silence phone at each word boundary (``fsgusefiller``
+  self-loops, limited to one silence per boundary)
+* triphone ssid variants for every (left, right) context path, following
+  alignment_populate (ps_alignment.c:132-213) / the lextree rules
+  (fsg_lextree.c:398-439): word-initial ``ldiph_lc``, internal
+  ``dict2pid_internal``, word-final ``rssid``, single-phone words
+  ``lrdiph_rc``; silence is context-independent and presents SIL to its
+  neighbors
+* entry penalties mirroring pass-1 FSG costs so silence/alternate
+  decisions match the reference: silence costs
+  ``(log(silprob)*lw >> SENSCR_SHIFT) + wip + pip``; word entry costs
+  ``wip + pip``; word-internal transitions cost ``pip``
+
+Cross-phone transitions are emitted as an edge list (src, dst, penalty)
+sorted by dst for the kernel's segment-max.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..am import AcousticModel
+from ..dict2pid import Dict2Pid
+from ..dictionary import Dictionary
+from ..logmath import SENSCR_SHIFT, LogMath
+
+START = -2  # sentinel predecessor: utterance start
+
+
+@dataclass
+class AlignGraph:
+    ssid: np.ndarray       # int32 [P]
+    tmatid: np.ndarray     # int32 [P]
+    senid: np.ndarray      # int32 [P, 3]
+    edge_src: np.ndarray   # int32 [E] sorted by edge_dst
+    edge_dst: np.ndarray   # int32 [E]
+    edge_pen: np.ndarray   # int32 [E]
+    entry_pen: np.ndarray  # int32 [P]
+    is_entry: np.ndarray   # bool [P]
+    astart: np.ndarray     # int32 [P]
+    aend: np.ndarray       # int32 [P]
+    word_of: np.ndarray    # int32 [P] word index or -1 for silence
+    variant_of: np.ndarray  # int32 [P] dict wid of the pronunciation
+    pos_of: np.ndarray     # int32 [P]
+    cipid: np.ndarray      # int32 [P]
+    final_nodes: np.ndarray
+    wids: list = field(default_factory=list)
+
+
+def _variants(d: Dictionary, wid: int) -> list[int]:
+    """Base wid + alternate pronunciation wids (dict_nextalt chain)."""
+    out = [wid]
+    alt = d.nextalt(wid)
+    while alt >= 0:
+        out.append(alt)
+        alt = d.nextalt(alt)
+    return out
+
+
+def build_chain_graph(
+    wids: list[int],
+    d: Dictionary,
+    d2p: Dict2Pid,
+    am: AcousticModel,
+    lmath: LogMath,
+    config,
+    optional_sil: bool = True,
+    use_altpron: bool = True,
+) -> AlignGraph:
+    mdef = am.mdef
+    sil = mdef.silphone
+    lw = config.get_float("lw")
+    wip = int(lmath.log(config.get_float("wip")) * lw) >> SENSCR_SHIFT
+    pip = int(lmath.log(config.get_float("pip")) * lw) >> SENSCR_SHIFT
+    silpen = (int(lmath.log(config.get_float("silprob")) * lw)
+              >> SENSCR_SHIFT) + wip + pip
+    wordpen = wip + pip
+
+    nodes: list[dict] = []
+    edges: list[tuple[int, int, int]] = []  # (src, dst, pen); src may be START
+
+    def add_node(ssid, ci, word, var, pos):
+        nodes.append(dict(ssid=int(ssid), ci=int(ci), word=word, var=var,
+                          pos=pos))
+        return len(nodes) - 1
+
+    def connect(srcs, dst, pen):
+        for s in srcs:
+            edges.append((s, dst, pen))
+
+    # feeds: (node_or_START, lc) that can directly precede the next segment
+    feeds: list[tuple[int, int]] = [(START, sil)]
+    finals: list[int] = []
+    word_variant_lists = []
+
+    for wi, wid in enumerate(wids):
+        variants = _variants(d, wid) if use_altpron else [wid]
+        word_variant_lists.append(variants)
+        # Optional silence fed by ALL current feeds (leading silence for
+        # wi == 0; inter-word silences are added at the bottom of the
+        # previous iteration from rc==SIL exits only).
+        if optional_sil and wi == 0:
+            sn = add_node(mdef.pid2ssid(sil), sil, -1, -1, 0)
+            connect([n for (n, _) in feeds], sn, silpen)
+            feeds = feeds + [(sn, sil)]
+
+        # rc alternatives for this word's last phones
+        next_firsts: set[int] = set()
+        if wi + 1 < len(wids):
+            nv = _variants(d, wids[wi + 1]) if use_altpron else [wids[wi + 1]]
+            next_firsts = {d.first_phone(v) for v in nv}
+        rcs = set(next_firsts)
+        if optional_sil or wi + 1 == len(wids):
+            rcs.add(sil)
+        rcs = sorted(rcs)
+        lcs = sorted({lc for (_, lc) in feeds})
+
+        # exit variants across pronunciations: (node, last_ci, rc)
+        exit_variants: list[tuple[int, int, int]] = []
+
+        for var in variants:
+            pron = d.prons[var]
+            k = len(pron)
+            if k == 1:
+                for rc in rcs:
+                    for lc in lcs:
+                        srcs = [n for (n, l) in feeds if l == lc]
+                        if not srcs:
+                            continue
+                        ni = add_node(int(d2p.lrdiph_rc[pron[0], lc, rc]),
+                                      pron[0], wi, var, 0)
+                        connect(srcs, ni, wordpen)
+                        exit_variants.append((ni, pron[0], rc))
+            else:
+                first_nodes = []
+                for lc in lcs:
+                    srcs = [n for (n, l) in feeds if l == lc]
+                    if not srcs:
+                        continue
+                    ni = add_node(int(d2p.ldiph_lc[pron[0], pron[1], lc]),
+                                  pron[0], wi, var, 0)
+                    connect(srcs, ni, wordpen)
+                    first_nodes.append(ni)
+                prev = first_nodes
+                for pos in range(1, k - 1):
+                    ni = add_node(d2p.internal(var, pos), pron[pos], wi,
+                                  var, pos)
+                    connect(prev, ni, pip)
+                    prev = [ni]
+                rssid = d2p.get_rssid(pron[-1], pron[-2])
+                by_j: dict[int, int] = {}
+                for rc in rcs:
+                    j = int(rssid.cimap[rc])
+                    if j not in by_j:
+                        ni = add_node(int(rssid.ssid[j]), pron[-1], wi,
+                                      var, k - 1)
+                        connect(prev, ni, pip)
+                        by_j[j] = ni
+                    exit_variants.append((by_j[j], pron[-1], rc))
+
+        sil_feed = sorted({n for (n, _, rc) in exit_variants if rc == sil})
+        if wi + 1 == len(wids):
+            finals.extend(sil_feed)
+            if optional_sil and sil_feed:
+                sn = add_node(mdef.pid2ssid(sil), sil, -1, -1, 0)
+                connect(sil_feed, sn, silpen)
+                finals.append(sn)
+        else:
+            feeds = [(n, ci) for (n, ci, rc) in exit_variants
+                     if rc in next_firsts]
+            if optional_sil and sil_feed:
+                sn = add_node(mdef.pid2ssid(sil), sil, -1, -1, 0)
+                connect(sil_feed, sn, silpen)
+                feeds = feeds + [(sn, sil)]
+
+    # Assemble arrays
+    P = len(nodes)
+    ssid = np.zeros(P, np.int32)
+    tmatid = np.zeros(P, np.int32)
+    senid = np.zeros((P, 3), np.int32)
+    entry_pen = np.zeros(P, np.int32)
+    is_entry = np.zeros(P, bool)
+    word_of = np.zeros(P, np.int32)
+    variant_of = np.zeros(P, np.int32)
+    pos_of = np.zeros(P, np.int32)
+    cipid = np.zeros(P, np.int32)
+    for i, nd in enumerate(nodes):
+        ssid[i] = nd["ssid"]
+        tmatid[i] = am.mdef.pid2tmatid(nd["ci"])
+        senid[i] = am.mdef.sseq[nd["ssid"]]
+        word_of[i] = nd["word"]
+        variant_of[i] = nd["var"]
+        pos_of[i] = nd["pos"]
+        cipid[i] = nd["ci"]
+
+    real_edges = []
+    for (s, t, pen) in edges:
+        if s == START:
+            is_entry[t] = True
+            entry_pen[t] = pen
+        else:
+            real_edges.append((s, t, pen))
+    real_edges.sort(key=lambda e: (e[1], e[0]))
+    E = len(real_edges)
+    edge_src = np.asarray([e[0] for e in real_edges], np.int32)
+    edge_dst = np.asarray([e[1] for e in real_edges], np.int32)
+    edge_pen = np.asarray([e[2] for e in real_edges], np.int32)
+
+    # Active windows: cascade like the C activation (a phone can become
+    # active one frame after its earliest-active predecessor).
+    astart = np.where(is_entry, 0, 1 << 30).astype(np.int64)
+    # edges sorted by dst; nodes are created in topological order so one
+    # forward sweep suffices
+    for (s, t, _) in real_edges:
+        astart[t] = min(astart[t], astart[s] + 1)
+    aend = np.full(P, 1 << 30, np.int64)
+
+    return AlignGraph(
+        ssid=ssid, tmatid=tmatid, senid=senid,
+        edge_src=edge_src, edge_dst=edge_dst, edge_pen=edge_pen,
+        entry_pen=entry_pen, is_entry=is_entry,
+        astart=astart.astype(np.int32), aend=aend.astype(np.int32),
+        word_of=word_of, variant_of=variant_of, pos_of=pos_of, cipid=cipid,
+        final_nodes=np.asarray(sorted(set(finals)), np.int32),
+        wids=list(wids),
+    )

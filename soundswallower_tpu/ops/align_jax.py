@@ -110,14 +110,14 @@ def _eval_3st(score, hist, out_score, out_hist, senscr, tp, active):
 
 
 @partial(jax.jit, static_argnums=())
-def align_viterbi(senscr, senid, tp, pred1, pred2, pen1, pen2,
-                  astart, aend, n_frames):
-    """Run the masked Viterbi DP.
+def align_viterbi(senscr, senid, tp, edge_src, edge_dst, edge_pen,
+                  astart, aend, n_frames, entry_score=None):
+    """Run the masked Viterbi DP over a phone graph.
 
     senscr [T, n_sen] int16/32 senone scores (0=best per frame)
     senid [P, 3] int32, tp [P, 3, 4] int32
-    pred1/pred2 [P] int32 predecessor phone ids (-1 = none)
-    pen1/pen2 [P] int32 entry penalties (<= 0)
+    edge_src/edge_dst/edge_pen [E] int32: cross-phone transitions sorted
+      by edge_dst (penalties <= 0)
     astart/aend [P] int32 active frame windows
     n_frames: int32 actual frame count (T may be padded)
 
@@ -126,9 +126,11 @@ def align_viterbi(senscr, senid, tp, pred1, pred2, pen1, pen2,
     """
     T = senscr.shape[0]
     P = senid.shape[0]
+    E = edge_src.shape[0]
     i32 = jnp.int32
     worst = i32(WORST_SCORE)
     sidx = (jnp.arange(P)[:, None] * 3 + jnp.arange(3)[None, :]).astype(i32)
+    eidx = jnp.arange(E, dtype=jnp.int64)
 
     def step(carry, t):
         score, hist, out_score, out_hist, best_prev = carry
@@ -147,22 +149,22 @@ def align_viterbi(senscr, senid, tp, pred1, pred2, pen1, pen2,
 
         # phone transitions (phone_transition, state_align_search.c:108-133):
         # a phone enters from a predecessor when the predecessor remains
-        # active into the next frame (survived its window).
+        # active into the next frame (survived its window).  Max over the
+        # edge list via segment-max of (value, edge) packed into int64.
         nf = t + 1
         active_next = active & (nf <= aend)
-        # gather predecessor outs
-        def pred_vals(pred, pen):
-            valid = pred >= 0
-            pi = jnp.maximum(pred, 0)
-            pact = active_next[pi] & valid
-            pout = jnp.where(pact, out_score[pi] + pen, worst)
-            phist = jnp.where(pact, out_hist[pi], -1)
-            return pout, phist, pact
-        p1_out, p1_hist, p1_act = pred_vals(pred1, pen1)
-        p2_out, p2_hist, p2_act = pred_vals(pred2, pen2)
-        ent_score = jnp.maximum(p1_out, p2_out)
-        ent_hist = jnp.where(p1_out >= p2_out, p1_hist, p2_hist)
-        can_enter = (p1_act | p2_act) & (nf >= astart) & (nf <= aend)
+        src_act = active_next[edge_src]
+        vals = jnp.where(src_act, out_score[edge_src] + edge_pen, worst)
+        packed = (vals.astype(jnp.int64) << 20) + eidx
+        packed = jnp.where(src_act, packed, jnp.int64(-(1 << 62)))
+        seg = jax.ops.segment_max(packed, edge_dst, num_segments=P,
+                                  indices_are_sorted=True)
+        has_edge = seg > jnp.int64(-(1 << 61))
+        best_e = jnp.minimum(jnp.mod(seg, 1 << 20).astype(i32), E - 1)
+        ent_score = jnp.where(has_edge,
+                              ((seg - best_e) >> 20).astype(i32), worst)
+        ent_hist = jnp.where(has_edge, out_hist[edge_src[best_e]], -1)
+        can_enter = has_edge & (nf >= astart) & (nf <= aend)
         # C rule: enter if target was inactive, or entering score better
         was_active = active
         do_enter = can_enter & ((~was_active) | (ent_score > score[:, 0]))
@@ -181,7 +183,12 @@ def align_viterbi(senscr, senid, tp, pred1, pred2, pen1, pen2,
         return (score, hist, out_score, out_hist, best), (tok_id, tok_score)
 
     score0 = jnp.full((P, 3), worst, dtype=i32)
-    score0 = score0.at[0, 0].set(0)
+    if entry_score is None:
+        score0 = score0.at[0, 0].set(0)
+    else:
+        # entry_score [P]: initial in-state score for entry nodes (their
+        # pass-1-equivalent entry penalty), WORST_SCORE elsewhere.
+        score0 = score0.at[:, 0].set(entry_score.astype(i32))
     hist0 = jnp.full((P, 3), -1, dtype=i32)
     out0 = jnp.full((P,), worst, dtype=i32)
     outh0 = jnp.full((P,), -1, dtype=i32)

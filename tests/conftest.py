@@ -1,0 +1,57 @@
+"""Test configuration.
+
+Tests run on the CPU backend with 8 virtual devices so multi-chip
+sharding tests work without TPU hardware; numerical parity tests use the
+host (numpy) exact paths which are backend-independent.
+
+Slow full-decode parity tests only run when SST_SLOW=1 (they re-run the
+complete exact two-pass pipeline, several minutes each); the fast suite
+covers every component against the same C-reference golden data.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+MODELDIR = "/root/reference/model"
+DATADIR = "/root/reference/tests/data"
+
+slow = pytest.mark.skipif(
+    not os.environ.get("SST_SLOW"), reason="set SST_SLOW=1 for slow parity tests"
+)
+
+
+@pytest.fixture(scope="session")
+def en_us():
+    from soundswallower_tpu.config import Config
+    from soundswallower_tpu.am import AcousticModel
+
+    cfg = Config(hmm=os.path.join(MODELDIR, "en-us"))
+    cfg.expand()
+    return AcousticModel.load(cfg), cfg
+
+
+@pytest.fixture(scope="session")
+def fr_fr():
+    from soundswallower_tpu.config import Config
+    from soundswallower_tpu.am import AcousticModel
+
+    cfg = Config(hmm=os.path.join(MODELDIR, "fr-fr"))
+    cfg.expand()
+    return AcousticModel.load(cfg), cfg
+
+
+def golden(name: str, fname: str, dtype, shape=None):
+    arr = np.fromfile(os.path.join(GOLDEN, name, fname), dtype=dtype)
+    if shape is not None:
+        arr = arr.reshape(shape)
+    return arr

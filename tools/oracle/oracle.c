@@ -194,11 +194,10 @@ int main(int argc, char *argv[]) {
                 }
                 fclose(p2);
                 search_module_finish(align);
-                search_module_free(align);
-                acmod_rewind(d->acmod);
-                /* replay to restore output_frame for result_json */
-                while (d->acmod->output_frame < ofr)
-                    acmod_advance(d->acmod);
+                /* Install as the decoder's alignment so result_json
+                 * reuses it instead of re-running (keeps scorer state
+                 * identical to the plain decode->align sequence). */
+                d->align = align;
                 (void)prev_ef;
             }
             /* Two-pass alignment JSON */
