@@ -30,15 +30,69 @@ try:
 except Exception:  # pragma: no cover - cache is best-effort
     pass
 
+import collections  # noqa: E402
+
 from .config import Config  # noqa: E402
 from .logmath import LogMath  # noqa: E402
 
 __version__ = "0.1.0"
 
+Arg = collections.namedtuple("Arg", ["name", "default", "doc", "type", "required"])
+Seg = collections.namedtuple("Seg", ["text", "start", "duration", "ascore", "lscore"])
+Hyp = collections.namedtuple("Hyp", ["text", "score", "prob"])
+
+
+def __getattr__(name):
+    # Lazy imports keep `import soundswallower_tpu` light; the heavy
+    # modules (jax tracing etc.) load on first use.
+    if name == "Decoder":
+        from .decoder import Decoder
+        return Decoder
+    if name == "FsgModel":
+        from .fsg import FsgModel
+        return FsgModel
+    if name == "TpuAligner":
+        from .aligner import TpuAligner
+        return TpuAligner
+    if name == "Vad":
+        from .vad import Vad
+        return Vad
+    if name == "Endpointer":
+        from .endpointer import Endpointer
+        return Endpointer
+    raise AttributeError(name)
+
+
 __all__ = [
+    "Arg",
     "Config",
+    "Decoder",
+    "Endpointer",
+    "FsgModel",
+    "Hyp",
     "LogMath",
+    "Seg",
+    "TpuAligner",
+    "Vad",
+    "get_audio_data",
+    "get_model_path",
 ]
+
+
+def get_audio_data(input_file: str):
+    """Single-channel WAV or raw audio loader
+    (py/soundswallower/__init__.py:43-64)."""
+    import wave
+
+    try:
+        with wave.open(input_file) as wavfile:
+            if wavfile.getnchannels() != 1:
+                raise ValueError("Only supporting single-channel WAV")
+            data = wavfile.readframes(wavfile.getnframes())
+            return data, wavfile.getframerate()
+    except wave.Error:
+        with open(input_file, "rb") as rawfile:
+            return rawfile.read(), None
 
 
 def get_model_path(subpath: str | None = None) -> str:

@@ -359,6 +359,58 @@ class Decoder:
         out.append("]}\n")
         return "".join(out)
 
+    # -- file decoding + serialization (pyx:734-798) -----------------------
+
+    def decode_file(self, input_file: str):
+        """Decode a single-channel WAV or raw file; returns (hyp, segs)
+        like the reference binding (pyx:734-772)."""
+        from . import get_audio_data
+
+        data, sample_rate = get_audio_data(input_file)
+        if sample_rate is None:
+            sample_rate = self.config.get_int("samprate")
+        if sample_rate != self.config.get_int("samprate"):
+            self.config["samprate"] = sample_rate
+            self.reinit_feat()
+        audio = np.frombuffer(data, dtype=np.int16)
+        self.start_utt()
+        self.process_raw(audio)
+        self.end_utt()
+        import collections
+
+        Seg = collections.namedtuple(
+            "Seg", ["text", "start", "duration", "ascore", "lscore"])
+        frate = self.config.get_int("frate")
+        segs = [
+            Seg(s["word"], s["sf"] / frate, (s["ef"] + 1 - s["sf"]) / frate,
+                s["ascr"], s["lscr"])
+            for s in self.seg_iter() if s["word"] is not None
+        ]
+        return self.hyp(), segs
+
+    def dumps(self, start: float = 0.0, align_level: int = 0) -> str:
+        """decoder_result_json as a str (pyx ``dumps``)."""
+        return self.result_json(start, align_level)
+
+    def reinit_feat(self):
+        """decoder_reinit_feat: rebuild the front end from config."""
+        c = self.config
+        self.fe = Frontend(
+            sampling_rate=c.get_int("samprate"),
+            frame_rate=c.get_int("frate"),
+            window_length=c.get_float("wlen"),
+            fft_size=c.get_int("nfft"),
+            num_cepstra=c.get_int("ncep"),
+            num_filters=c.get_int("nfilt"),
+            lower_filt_freq=c.get_float("lowerf"),
+            upper_filt_freq=c.get_float("upperf"),
+            pre_emphasis_alpha=c.get_float("alpha"),
+            lifter_val=c.get_int("lifter"),
+            transform=c["transform"],
+            remove_noise=c.get_bool("remove_noise"),
+            remove_dc=c.get_bool("remove_dc"),
+        )
+
     # -- CMN state (decoder.c:488-516) -------------------------------------
 
     def get_cmn(self, update: bool = False) -> str:

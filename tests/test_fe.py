@@ -51,7 +51,9 @@ def test_frame_counts():
     fe = _fe_8k_band()
     # full frames + zero-padded tail (fe_interface.c:379-391 + fe_end)
     assert fe.n_frames(44580) == 278
-    assert fe.n_frames(410) == 1
+    # N=410 = one full frame plus a 250-sample tail frame (fe_end)
+    assert fe.n_frames(410) == 2
     assert fe.n_frames(409) == 1
     assert fe.n_frames(0) == 0
-    assert fe.n_frames(410 + 160) == 2
+    assert fe.n_frames(160) == 1
+    assert fe.n_frames(410 + 160) == 3
