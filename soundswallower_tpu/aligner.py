@@ -113,8 +113,10 @@ class TpuAligner:
 
     def _viterbi(self, g: AlignGraph, senscr, T: int):
         entry = np.where(g.is_entry, g.entry_pen, WORST_SCORE).astype(np.int32)
+        # senone ids remapped into the scorer's codebook-grouped layout
+        senid_g = self.tables.sen_remap[g.senid].astype(np.int32)
         tok_id, tok_score, out_score, out_hist = align_viterbi(
-            senscr, jnp.asarray(g.senid), self.tmat_i32[jnp.asarray(g.tmatid)],
+            senscr, jnp.asarray(senid_g), self.tmat_i32[jnp.asarray(g.tmatid)],
             jnp.asarray(g.edge_src), jnp.asarray(g.edge_dst),
             jnp.asarray(g.edge_pen),
             jnp.asarray(g.astart), jnp.asarray(g.aend),
@@ -214,7 +216,7 @@ class TpuAligner:
                    dist_mode: str):
         entry = jnp.asarray(
             np.where(g.is_entry, g.entry_pen, WORST_SCORE).astype(np.int32))
-        senid = jnp.asarray(g.senid)
+        senid = jnp.asarray(self.tables.sen_remap[g.senid].astype(np.int32))
         tp = self.tmat_i32[jnp.asarray(g.tmatid)]
         es, ed = jnp.asarray(g.edge_src), jnp.asarray(g.edge_dst)
         ep = jnp.asarray(g.edge_pen)

@@ -1,26 +1,32 @@
 """Batched TPU senone scoring (dense fast path).
 
-Computes int16 senone scores for whole utterances (or batches) in one jit:
+Computes int16 senone scores for whole utterances in one jit:
 
 1. Mahalanobis distances for every (frame, codebook, stream, density) via
-   the same float32 fold as the C code (det - sum diff^2*var in dim order;
-   exact on TPU where f32 is native), or optionally an MXU matmul
-   expansion (faster, different rounding).
-2. Per-frame top-N densities by final int32 distance (lax.top_k).  This
+   the same float32 fold as the C code (det - sum diff^2*var in dim
+   order; exact on TPU where f32 is native), or optionally an MXU matmul
+   expansion (different rounding, faster for huge batches).
+2. Per-frame top-N densities by final int32 distance via N iterative
+   argmax rounds (lax.top_k lowers to a slow full sort on TPU).  This
    intentionally drops two C quirks with negligible effect (measured
-   3/35028 top-4 sets on goforward): the dynamic-threshold early
-   termination of eval_cb (ptm_mgau.c:181-209) and cross-frame seeding.
-3. Integer normalization (codebook_norm semantics: >>SENSCR_SHIFT,
-   subtract per-stream max over codebooks, negate, clamp at
-   MAX_NEG_ASCR=96) and senone evaluation via the 8-bit log-add table
-   (senone_eval semantics), all exact int ops.
+   3/35028 top-4 sets on goforward): eval_cb's dynamic-threshold early
+   termination (ptm_mgau.c:181-209) and cross-frame seeding.
+3. Integer normalization (codebook_norm semantics) and senone evaluation
+   (senone_eval semantics) in a *codebook-grouped* senone layout
+   [cb, M]: mixture-weight lookups become contiguous-row gathers and the
+   8-bit log-add table is evaluated as a sum of threshold comparisons
+   (the quantized table is a small non-increasing staircase), so the hot
+   path has no scatter/gather at all beyond one row-gather.
 
-Scores: int16 [T, n_sen], 0 = best per frame (compallsen convention).
+Output layout: int16 [T, G] with G = n_cb * M; ``sen_remap[sen]`` maps a
+reference senone id to its grouped column.  0 = best per frame
+(compallsen convention); ungrouped columns behave like C's unevaluated
+senones (score = -bestscore).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 
 import jax
@@ -34,44 +40,87 @@ MAX_NEG_ASCR = 96
 MAX_NEG_INT32 = -2147483648
 
 
+@jax.tree_util.register_dataclass
 @dataclass(eq=False)
 class ScorerTables:
-    """Device-resident model tables."""
+    """Device-resident model tables (a pytree: arrays are jit inputs,
+    never baked into the graph as constants)."""
 
     means: jnp.ndarray      # f32 [cb, F, D, L]
     var_t: jnp.ndarray      # f32 [cb, F, D, L]
     det: jnp.ndarray        # f32 [cb, F, D]
-    mixw: jnp.ndarray       # uint8 [F, D, n_sen]
-    sen2cb: jnp.ndarray     # int32 [n_sen]
-    table8: jnp.ndarray     # uint8 [>=256] log-add table
-    max_topn: int = 4
+    mixw_g: jnp.ndarray     # int32 [F, cb, D, M] grouped mixture weights
+    valid_g: jnp.ndarray    # bool [cb, M] real senone mask
+    table_thresh: jnp.ndarray  # int32 [K] log-add staircase thresholds
+    sen_remap_dev: jnp.ndarray  # int32 [n_sen] senone id -> grouped column
+    sen_remap: np.ndarray = field(metadata=dict(static=False))
+    max_topn: int = field(metadata=dict(static=True), default=4)
+    n_sen: int = field(metadata=dict(static=True), default=0)
 
     @classmethod
     def from_am(cls, am: AcousticModel) -> "ScorerTables":
+        n_sen = am.n_sen
+        n_cb = am.n_mgau
         if am.mixw_cb is not None:
-            # unpack 4-bit clustered sendump to flat uint8 weights
-            sens = np.arange(am.n_sen)
+            sens = np.arange(n_sen)
             packed = am.mixw[:, :, sens // 2].astype(np.int64)
             dcw = np.where(packed & 1, packed >> 4, packed & 0x0F)
             mixw = am.mixw_cb[dcw].astype(np.uint8)
         else:
-            mixw = am.mixw
+            mixw = am.mixw  # [F, D, n_sen]
+        # Group senones by codebook: column remap [n_sen] -> cb*M + slot
+        sen2cb = np.asarray(am.sen2cb, dtype=np.int64)
+        counts = np.bincount(sen2cb, minlength=n_cb)
+        M = max(128, int(-(-counts.max() // 128) * 128))
+        remap = np.zeros(n_sen, np.int64)
+        slot = np.zeros(n_cb, np.int64)
+        for s in range(n_sen):
+            cb = sen2cb[s]
+            remap[s] = cb * M + slot[cb]
+            slot[cb] += 1
+        F, D = mixw.shape[0], mixw.shape[1]
+        mixw_g = np.full((F, n_cb, D, M), 255, np.uint8)
+        cbcol = remap // M
+        slotcol = remap % M
+        mixw_g[:, cbcol, :, slotcol] = np.transpose(mixw, (2, 0, 1))
+        valid_g = np.zeros((n_cb, M), bool)
+        valid_g[cbcol, slotcol] = True
+        # log-add staircase: table[d] = sum_k [d < thresh_k]
+        # (the 8-bit table is non-increasing; thresh_k = first d where the
+        # value drops below k)
+        table = np.asarray(am.lmath_8b.table, dtype=np.int64)
+        vmax = int(table[0])
+        thresh = np.asarray(
+            [int(np.searchsorted(-table, -(k - 0.5))) for k in range(1, vmax + 1)],
+            np.int32,
+        )
+        # verify staircase reconstruction exactly
+        d = np.arange(len(table))
+        recon = (d[:, None] < thresh[None, :]).sum(1)
+        assert (recon == table).all(), "log-add staircase mismatch"
         return cls(
             means=jnp.asarray(am.means),
             var_t=jnp.asarray(am.var_t),
             det=jnp.asarray(am.det),
-            mixw=jnp.asarray(mixw),
-            sen2cb=jnp.asarray(am.sen2cb, dtype=jnp.int32),
-            table8=jnp.asarray(am.lmath_8b.table),
+            mixw_g=jnp.asarray(mixw_g.astype(np.int32)),
+            valid_g=jnp.asarray(valid_g),
+            table_thresh=jnp.asarray(thresh),
+            sen_remap_dev=jnp.asarray(remap.astype(np.int32)),
+            sen_remap=remap,
             max_topn=am.max_topn,
+            n_sen=n_sen,
         )
+
+    @property
+    def group_shape(self):
+        return self.valid_g.shape
 
 
 def _distances_fold(t: ScorerTables, feats):
     """f32 fold distances: feats [T, F, L] -> [T, cb, F, D] float32."""
     L = t.means.shape[-1]
-    obs = feats[:, None, :, None, :]           # [T, 1, F, 1, L]
-    diff = obs - t.means[None]                  # [T, cb, F, D, L]
+    obs = feats[:, None, :, None, :]
+    diff = obs - t.means[None]
     compl_ = (diff * diff) * t.var_t[None]
     d = jnp.broadcast_to(t.det[None], compl_.shape[:-1]).astype(jnp.float32)
     for i in range(L):
@@ -80,14 +129,10 @@ def _distances_fold(t: ScorerTables, feats):
 
 
 def _distances_mxu(t: ScorerTables, feats):
-    """MXU expansion: d = det - c - x2.v + 2 x.(mu*v).
-
-    feats [T, F, L].  Different f32 rounding than the fold (documented);
-    used for max-throughput mode.
-    """
-    mu_v = t.means * t.var_t                               # [cb,F,D,L]
-    c = jnp.sum(t.means * mu_v, axis=-1)                    # [cb,F,D]
-    # einsum over L: [T,F,L] x [cb,F,D,L] -> [T,cb,F,D]
+    """MXU expansion: d = det - c - x2.v + 2 x.(mu*v) (different f32
+    rounding than the fold; for max-throughput modes)."""
+    mu_v = t.means * t.var_t
+    c = jnp.sum(t.means * mu_v, axis=-1)
     xv = jnp.einsum("tfl,cfdl->tcfd", feats * feats, t.var_t,
                     preferred_element_type=jnp.float32)
     xmv = jnp.einsum("tfl,cfdl->tcfd", feats, mu_v,
@@ -96,51 +141,81 @@ def _distances_mxu(t: ScorerTables, feats):
 
 
 def _int_dist(d):
-    out = d.astype(jnp.int32)  # rounds toward zero? jnp cast truncates
+    out = d.astype(jnp.int32)  # f32->s32 rounds toward zero (XLA convert)
     return jnp.where(d < jnp.float32(MAX_NEG_INT32),
                      jnp.int32(MAX_NEG_INT32), out)
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def score_frames(tables: ScorerTables, feats, dist_mode: str = "fold"):
-    """feats [T, F, L] float32 -> senone scores int16 [T, n_sen].
+def _topn_argmax(di, n):
+    """Top-n scores+indices over the last axis via n argmax rounds
+    (first-max-wins tie-breaking, same as a stable sort)."""
+    x = di
+    scores = []
+    cws = []
+    D = di.shape[-1]
+    for _ in range(n):
+        cw = jnp.argmax(x, axis=-1)
+        sc = jnp.take_along_axis(x, cw[..., None], axis=-1)[..., 0]
+        scores.append(sc)
+        cws.append(cw)
+        x = jnp.where(
+            jax.nn.one_hot(cw, D, dtype=bool), jnp.int32(MAX_NEG_INT32), x)
+    return jnp.stack(scores, -1), jnp.stack(cws, -1).astype(jnp.int32)
 
-    Dense compallsen scoring; all frames independent (vectorized over T).
-    """
+
+def _fast_logadd(x, y, thresh):
+    """fast_logmath_add via the staircase: r - sum_k [|x-y| < thresh_k]."""
+    d = jnp.abs(x - y)
+    r = jnp.minimum(x, y)
+    add = jnp.zeros_like(r)
+    for k in range(thresh.shape[0]):
+        add = add + (d < thresh[k]).astype(r.dtype)
+    return r - add
+
+
+@partial(jax.jit, static_argnums=(2,))
+def score_frames(tables: ScorerTables, feats, dist_mode: str = "fold"):
+    """feats [T, F, L] float32 -> grouped senone scores int16 [T, G]."""
     t = tables
     if dist_mode == "mxu":
         d = _distances_mxu(t, feats)
     else:
         d = _distances_fold(t, feats)
-    di = _int_dist(d)                                       # [T,cb,F,D]
-    topn_scores, topn_cw = jax.lax.top_k(di, t.max_topn)    # [T,cb,F,N]
+    di = _int_dist(d)                                      # [T,cb,F,D]
+    topn_scores, topn_cw = _topn_argmax(di, t.max_topn)    # [T,cb,F,N]
 
-    # codebook_norm (ptm_mgau.c:264-295): per stream across codebooks
+    # codebook_norm (ptm_mgau.c:264-295)
     shifted = topn_scores >> SENSCR_SHIFT
-    norm = jnp.max(shifted[..., 0], axis=1, keepdims=True)  # [T,1,F]
+    norm = jnp.max(shifted[..., 0], axis=1, keepdims=True)
     s = -(shifted - norm[..., None])
-    s = jnp.minimum(s, MAX_NEG_ASCR)                        # [T,cb,F,N] int32
+    s = jnp.minimum(s, MAX_NEG_ASCR)                       # [T,cb,F,N]
 
-    # senone_eval (ptm_mgau.c:326-403)
-    cbs = t.sen2cb                                          # [S]
-    cw_s = topn_cw[:, cbs]                                  # [T,S,F,N]
-    sc_s = s[:, cbs]                                        # [T,S,F,N]
-    S = cbs.shape[0]
-    sen_ids = jnp.arange(S)
-    # mixw gather: mw[t,s,f,j] = mixw[f, cw_s[t,s,f,j], s]
-    mixw = t.mixw.astype(jnp.int32)                         # [F,D,S]
-    f_idx = jnp.arange(mixw.shape[0])[None, None, :, None]
-    s_idx = sen_ids[None, :, None, None]
-    mw = mixw[f_idx, cw_s, s_idx]                           # [T,S,F,N]
-    terms = mw + sc_s                                       # [T,S,F,N]
-    table = t.table8.astype(jnp.int32)
-    fden = terms[..., 0]
-    for j in range(1, terms.shape[-1]):
-        term = terms[..., j]
-        dd = jnp.abs(fden - term)
-        r = jnp.minimum(fden, term)
-        fden = r - table[jnp.minimum(dd, table.shape[0] - 1)]
-    ascore = jnp.sum(fden, axis=-1)                         # [T,S]
-    best = jnp.min(ascore, axis=-1, keepdims=True)
-    out = (ascore.astype(jnp.int16) - best.astype(jnp.int16))
-    return out
+    # senone_eval in grouped layout: one contiguous-row gather per (f, j)
+    F = t.mixw_g.shape[0]
+    n_cb = t.mixw_g.shape[1]
+    cb_idx = jnp.arange(n_cb)[None, :, None]
+    ascore = None
+    for f in range(F):
+        fden = None
+        for j in range(t.max_topn):
+            cw_fj = topn_cw[:, :, f, j]                    # [T,cb]
+            mw = t.mixw_g[f][cb_idx[..., 0], cw_fj]        # [T,cb,M]
+            term = mw + s[:, :, f, j][..., None]           # [T,cb,M]
+            if fden is None:
+                fden = term
+            else:
+                fden = _fast_logadd(fden, term, t.table_thresh)
+        ascore = fden if ascore is None else ascore + fden
+    # bestscore over real senones; pad columns mimic C's unevaluated
+    # senones (memset 0 then -= best)
+    big = jnp.int32(1 << 30)
+    best = jnp.min(jnp.where(t.valid_g[None], ascore, big), axis=(1, 2))
+    out = jnp.where(t.valid_g[None], ascore, 0).astype(jnp.int16)
+    out = out - best[:, None, None].astype(jnp.int16)
+    T = out.shape[0]
+    return out.reshape(T, -1)
+
+
+def ungroup(tables: ScorerTables, grouped: np.ndarray) -> np.ndarray:
+    """[..., G] grouped scores -> [..., n_sen] reference senone order."""
+    return np.asarray(grouped)[..., tables.sen_remap]

@@ -28,6 +28,16 @@ def aligner():
     return TpuAligner(hmm="/root/reference/model/en-us")
 
 
+def _grouped_senscr(aligner, name):
+    """Reference senone scores scattered into the scorer's grouped
+    layout (pad columns get 0 like C's unevaluated senones)."""
+    raw = golden(name, "senscr.i16", np.int16, (-1, aligner.am.n_sen))
+    G = int(np.prod(aligner.tables.group_shape))
+    out = np.zeros((len(raw), G), np.int16)
+    out[:, aligner.tables.sen_remap] = raw
+    return out
+
+
 def test_graph_structure(aligner):
     g = aligner.graph_for_text("go forward ten meters")
     assert g.is_entry.sum() >= 2  # leading silence + first word
@@ -38,8 +48,7 @@ def test_graph_structure(aligner):
 
 
 def test_align_viterbi_matches_reference_goforward(aligner):
-    senscr = golden("goforward-en", "senscr.i16", np.int16,
-                    (-1, aligner.am.n_sen))
+    senscr = _grouped_senscr(aligner, "goforward-en")
     T = len(senscr)
     g = aligner.graph_for_text("go forward ten meters")
     path, scores, final_sc = aligner._viterbi(g, jnp.asarray(senscr), T)
@@ -53,8 +62,7 @@ def test_align_viterbi_matches_reference_goforward(aligner):
 
 
 def test_align_phone_level_contiguity(aligner):
-    senscr = golden("goforward-en", "senscr.i16", np.int16,
-                    (-1, aligner.am.n_sen))
+    senscr = _grouped_senscr(aligner, "goforward-en")
     T = len(senscr)
     g = aligner.graph_for_text("go forward ten meters")
     path, scores, final_sc = aligner._viterbi(g, jnp.asarray(senscr), T)
