@@ -17,6 +17,8 @@ transcripts fall back to per-utterance dispatch (graph padding TODO).
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 
 import numpy as np
@@ -203,9 +205,23 @@ class TpuAligner:
         buf = np.zeros((len(audios), N), np.float32)
         for i, a in enumerate(audios):
             buf[i, : len(a)] = a.astype(np.float32)
-        out = self._batch_jit(g, jnp.asarray(buf), jnp.asarray(ns),
-                              jnp.asarray(Ts), Tmax, dist_mode)
-        paths, scoress, final_sc = (np.asarray(x) for x in out)
+        # Chunk the batch so per-chunk intermediates stay within HBM;
+        # chunks still saturate the chip for these shapes.
+        B = len(audios)
+        chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "8")))
+        paths, scoress, finals = [], [], []
+        for i0 in range(0, B, chunk):
+            out = self._batch_jit(
+                g, jnp.asarray(buf[i0:i0 + chunk]),
+                jnp.asarray(ns[i0:i0 + chunk]),
+                jnp.asarray(Ts[i0:i0 + chunk]), Tmax, dist_mode)
+            p, s, f = (np.asarray(x) for x in out)
+            paths.append(p)
+            scoress.append(s)
+            finals.append(f)
+        paths = np.concatenate(paths)
+        scoress = np.concatenate(scoress)
+        final_sc = np.concatenate(finals)
         return [
             self._extract(g, paths[i], scoress[i], int(Ts[i]),
                           int(final_sc[i]))

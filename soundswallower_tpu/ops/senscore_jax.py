@@ -117,14 +117,18 @@ class ScorerTables:
 
 
 def _distances_fold(t: ScorerTables, feats):
-    """f32 fold distances: feats [T, F, L] -> [T, cb, F, D] float32."""
+    """f32 fold distances: feats [T, F, L] -> [T, cb, F, D] float32.
+
+    One dimension at a time so no [T,cb,F,D,L] tensor ever materializes
+    (with batching that would be tens of GB); XLA fuses the unrolled
+    per-dim updates into one elementwise kernel."""
     L = t.means.shape[-1]
-    obs = feats[:, None, :, None, :]
-    diff = obs - t.means[None]
-    compl_ = (diff * diff) * t.var_t[None]
-    d = jnp.broadcast_to(t.det[None], compl_.shape[:-1]).astype(jnp.float32)
+    T = feats.shape[0]
+    shape = (T,) + t.det.shape
+    d = jnp.broadcast_to(t.det[None], shape).astype(jnp.float32)
     for i in range(L):
-        d = d - compl_[..., i]
+        diff = feats[:, None, :, None, i] - t.means[None, :, :, :, i]
+        d = d - (diff * diff) * t.var_t[None, :, :, :, i]
     return d
 
 
@@ -182,7 +186,13 @@ def score_frames(tables: ScorerTables, feats, dist_mode: str = "fold"):
     else:
         d = _distances_fold(t, feats)
     di = _int_dist(d)                                      # [T,cb,F,D]
+    # Materialize distances before the top-N rounds: without the barrier
+    # XLA fuses the 13-step distance fold into every argmax round,
+    # recomputing it 4x (measured 75ms -> 0.1ms for the top-N stage).
+    di = jax.lax.optimization_barrier(di)
     topn_scores, topn_cw = _topn_argmax(di, t.max_topn)    # [T,cb,F,N]
+    topn_scores = jax.lax.optimization_barrier(topn_scores)
+    topn_cw = jax.lax.optimization_barrier(topn_cw)
 
     # codebook_norm (ptm_mgau.c:264-295)
     shifted = topn_scores >> SENSCR_SHIFT
@@ -190,16 +200,23 @@ def score_frames(tables: ScorerTables, feats, dist_mode: str = "fold"):
     s = -(shifted - norm[..., None])
     s = jnp.minimum(s, MAX_NEG_ASCR)                       # [T,cb,F,N]
 
-    # senone_eval in grouped layout: one contiguous-row gather per (f, j)
+    # senone_eval in grouped layout.  The mixture-weight lookup
+    # mw[t,cb,m] = mixw[f, cw[t,cb,f,j], m] is computed as a one-hot
+    # batched matmul on the MXU (contraction over the 128 densities):
+    # exact, because the one-hot selects a single integer-valued bf16
+    # entry (<=255, exactly representable) and the MXU accumulates in
+    # f32.  3x faster than the equivalent row gather on TPU.
     F = t.mixw_g.shape[0]
-    n_cb = t.mixw_g.shape[1]
-    cb_idx = jnp.arange(n_cb)[None, :, None]
+    mixw_bf = t.mixw_g.astype(jnp.bfloat16)                # [F,cb,D,M]
+    D = mixw_bf.shape[2]
     ascore = None
     for f in range(F):
         fden = None
         for j in range(t.max_topn):
-            cw_fj = topn_cw[:, :, f, j]                    # [T,cb]
-            mw = t.mixw_g[f][cb_idx[..., 0], cw_fj]        # [T,cb,M]
+            oh = jax.nn.one_hot(topn_cw[:, :, f, j], D, dtype=jnp.bfloat16)
+            mw = jnp.einsum("tcd,cdm->tcm", oh, mixw_bf[f],
+                            preferred_element_type=jnp.float32)
+            mw = mw.astype(jnp.int32)                      # [T,cb,M]
             term = mw + s[:, :, f, j][..., None]           # [T,cb,M]
             if fden is None:
                 fden = term
