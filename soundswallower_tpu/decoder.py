@@ -164,9 +164,11 @@ class Decoder:
         self.scorer.start_utt()
         self.search.start()
         self.align_search = None
+        self._live = None
 
     def process_raw(self, audio, no_search=False, full_utt=True):
-        """decoder_process_int16 full-utterance path (decoder.c:959-1031).
+        """decoder_process_int16 (decoder.c:959-1031): full-utterance or
+        chunked (streaming) processing.
 
         audio: int16 numpy array (or float32 in [-1,1) which is scaled by
         32768 like fe_process_float32)."""
@@ -177,12 +179,115 @@ class Decoder:
             sig = (audio.astype(np.float32) * np.float32(32768.0))
         else:
             raise TypeError(f"Unsupported audio dtype {audio.dtype}")
+        if not full_utt:
+            return self._process_live(sig, no_search)
         cep = self._fe_process(sig)
-        feats = feats_full_utt_np(cep, cmn_mode=self.config["cmn"])
+        if self.config["cmn"] in ("batch", "current") and len(cep):
+            from .fe.feat import cmn_batch_np
+
+            cep, mean = cmn_batch_np(cep)
+            self._last_batch_mean = mean
+            feats = feats_full_utt_np(cep, cmn_mode="none")
+        else:
+            feats = feats_full_utt_np(cep, cmn_mode=self.config["cmn"])
         self._feats = feats
         if not no_search:
             self._run_search()
         return len(feats)
+
+    # -- live/chunked path (acmod.c:528-689 semantics) ---------------------
+
+    def _live_state(self):
+        if self._live is None:
+            from .fe.cmn_live import CmnLive
+
+            if not hasattr(self, "_cmn_live") or self._cmn_live is None:
+                # live CMN persists ACROSS utterances (cmn_live.c), seeded
+                # from cmninit (feat.c:886-892)
+                self._cmn_live = CmnLive(self.fe.num_cepstra,
+                                         self.config["cmninit"])
+            self._live = dict(
+                raw=np.zeros(0, np.float32),
+                fe_frames=0,
+                noise_state=None,
+                cepq=[],        # normalized cep frames incl. head replicas
+                head_done=False,
+                nfeat_done=0,
+                feats=[],
+                no_search=False,
+            )
+        return self._live
+
+    def _live_fe(self, st, first: int, count: int, tail: bool = False):
+        """Compute frames [first, first+count) from the raw buffer."""
+        import jax.numpy as jnp
+
+        shift, size = self.fe.frame_shift, self.fe.frame_size
+        start = first * shift
+        if tail:
+            seg = st["raw"][start:]
+        else:
+            seg = st["raw"][start:(first + count - 1) * shift + size]
+        prior = np.float32(st["raw"][start - 1]) if start > 0 else np.float32(0)
+        n = len(seg)
+        Tpad = max(128, -(-count // 128) * 128)
+        if st["noise_state"] is None:
+            st["noise_state"] = self.fe.noise_init()
+        cep, st["noise_state"] = self.fe.mfcc_chunk(
+            jnp.asarray(seg), n, Tpad, jnp.float32(prior), st["noise_state"])
+        return np.asarray(cep[:count])
+
+    def _process_live(self, sig: np.ndarray, no_search: bool) -> int:
+        st = self._live_state()
+        st["no_search"] = no_search
+        st["raw"] = np.concatenate([st["raw"], sig])
+        N = len(st["raw"])
+        size, shift = self.fe.frame_size, self.fe.frame_shift
+        ntotal = 1 + (N - size) // shift if N >= size else 0
+        new = ntotal - st["fe_frames"]
+        if new > 0:
+            cep = self._live_fe(st, st["fe_frames"], new)
+            st["fe_frames"] = ntotal
+            self._live_push_cep(st, cep)
+        return self._live_compute_feats(st)
+
+    def _live_push_cep(self, st, cep: np.ndarray):
+        norm = self._cmn_live.process(cep)
+        if not st["head_done"] and len(norm) > 0:
+            # begin-of-utterance replication (feat_s2mfc2feat_live,
+            # feat.c:1057-1067)
+            for _ in range(3):
+                st["cepq"].append(norm[0].copy())
+            st["head_done"] = True
+        for row in norm:
+            st["cepq"].append(row)
+
+    def _live_compute_feats(self, st) -> int:
+        from .fe.feat import compute_feat_1s_c_d_dd
+        import jax.numpy as jnp
+
+        navail = len(st["cepq"]) - 6
+        nnew = navail - st["nfeat_done"]
+        if nnew <= 0:
+            return 0
+        for i in range(st["nfeat_done"], navail):
+            win = np.stack(st["cepq"][i:i + 7])
+            c = win[3]
+            d = (win[5] - win[1]).astype(np.float32)
+            d1 = (win[6] - win[2]).astype(np.float32)
+            d2 = (win[4] - win[0]).astype(np.float32)
+            dd = (d1 - d2).astype(np.float32)
+            st["feats"].append(np.stack([c, d, dd]))
+        st["nfeat_done"] = navail
+        self._feats = np.stack(st["feats"])
+        if not st["no_search"]:
+            while self.output_frame < len(self._feats):
+                t = self.output_frame
+                senscr = self._score_frame(t, self.search)
+                self.search.step(senscr, t)
+                self.output_frame = t + 1
+                self.scorer.frame_idx = t + 1
+        return nnew
 
     def _fe_process(self, sig: np.ndarray) -> np.ndarray:
         n = len(sig)
@@ -220,7 +325,28 @@ class Decoder:
             self.scorer.frame_idx = t + 1
 
     def end_utt(self):
+        if self._live is not None:
+            self._end_live()
         self.search.finish()
+
+    def _end_live(self):
+        """Flush the live pipeline: fe_end tail frame, end-of-utterance
+        replication, remaining search steps, live-CMN fold
+        (acmod_end_utt + feat endutt path)."""
+        st = self._live
+        N = len(st["raw"])
+        shift = self.fe.frame_shift
+        tail = N - st["fe_frames"] * shift
+        if tail > 0 and N > 0:
+            cep = self._live_fe(st, st["fe_frames"], 1, tail=True)
+            st["fe_frames"] += 1
+            self._live_push_cep(st, cep)
+        if st["cepq"]:
+            last = st["cepq"][-1]
+            for _ in range(3):
+                st["cepq"].append(last.copy())
+        self._live_compute_feats(st)
+        self._cmn_live.update()
 
     @property
     def n_frames(self) -> int:
@@ -359,6 +485,31 @@ class Decoder:
         out.append("]}\n")
         return "".join(out)
 
+    # -- lattice / nbest (decoder.c:1145-1244) -----------------------------
+
+    def lattice(self):
+        """decoder_lattice: word DAG from the FSG search history."""
+        from .lattice import Lattice
+
+        if self.search is None:
+            return None
+        return Lattice.from_fsg_search(self.search, self.config)
+
+    def nbest(self, sf: int = 0, ef: int = -1):
+        """decoder_nbest: A* N-best hypothesis iterator yielding
+        (hyp_string, score) best-first."""
+        from .lattice import AstarSearch
+
+        dag = self.lattice()
+        if dag is None:
+            return
+        astar = AstarSearch(dag, sf, ef)
+        while True:
+            p = astar.next()
+            if p is None:
+                return
+            yield astar.hyp(p), p.score
+
     # -- file decoding + serialization (pyx:734-798) -----------------------
 
     def decode_file(self, input_file: str):
@@ -414,10 +565,22 @@ class Decoder:
     # -- CMN state (decoder.c:488-516) -------------------------------------
 
     def get_cmn(self, update: bool = False) -> str:
-        from .fe.feat import cmn_batch_np
-        if self._feats is not None:
-            pass
-        return ""
+        """decoder_get_cmn (decoder.c:488-500): serialize the CMN state."""
+        from .fe.cmn_live import CmnLive
+
+        if getattr(self, "_cmn_live", None) is None:
+            self._cmn_live = CmnLive(self.fe.num_cepstra,
+                                     self.config["cmninit"])
+        if getattr(self, "_last_batch_mean", None) is not None:
+            return ",".join("%g" % float(x) for x in self._last_batch_mean)
+        if update:
+            self._cmn_live.update()
+        return self._cmn_live.repr()
 
     def set_cmn(self, repr_str: str):
-        pass  # live-mode CMN state; full-utterance path recomputes per utt
+        """decoder_set_cmn (decoder.c:502-516)."""
+        from .fe.cmn_live import CmnLive
+
+        if getattr(self, "_cmn_live", None) is None:
+            self._cmn_live = CmnLive(self.fe.num_cepstra)
+        self._cmn_live.set_repr(repr_str)

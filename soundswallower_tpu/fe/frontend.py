@@ -322,8 +322,16 @@ class Frontend:
             acc = jnp.where(valid[:, j], acc + term, acc)
         return acc
 
-    def _remove_noise_scan(self, mfspec):
-        """fe_remove_noise (fe_noise.c:265-327) as a scan over frames."""
+    def noise_init(self):
+        """Fresh noise-removal state (fe_reset_noisestats)."""
+        import jax.numpy as jnp
+        z = jnp.zeros(self.num_filters, dtype=self.dtype)
+        return (z, z, z, z, jnp.ones((), bool))
+
+    def _remove_noise_scan(self, mfspec, init):
+        """fe_remove_noise (fe_noise.c:265-327) as a scan over frames,
+        with an explicit carry so chunked processing preserves the
+        cross-frame recurrence."""
         lambda_power = 0.7
         lambda_a = 0.995
         lambda_b = 0.5
@@ -379,10 +387,8 @@ class Frontend:
             out = mfs * (coef / jnp.asarray((l2 - l1 + 1), dtype=gain.dtype))
             return (power, noise, floor, peak, jnp.zeros((), bool)), out
 
-        zeros = jnp.zeros(nf, dtype=self.dtype)
-        init = (zeros, zeros, zeros, zeros, jnp.ones((), bool))
-        _, out = jax.lax.scan(step, init, mfspec)
-        return out
+        carry, out = jax.lax.scan(step, init, mfspec)
+        return out, carry
 
     def _dct(self, logspec):
         """fe_dct2 (dct) / fe_spec2cep (legacy): float32 accumulator folds."""
@@ -420,7 +426,6 @@ class Frontend:
                 )
         return jnp.stack(out, axis=-1)  # [T, ncep] float32
 
-    @partial(jax.jit, static_argnums=(0, 3))
     def mfcc(self, signal_f32, n_samps, max_frames: int):
         """Full-utterance MFCC: float32 sample values -> [max_frames, ncep].
 
@@ -429,6 +434,17 @@ class Frontend:
         FLOAT32_SCALE).  Frames beyond n_frames(n_samps) are garbage; callers
         mask with the host-computed frame count.
         """
+        cep, _ = self.mfcc_chunk(signal_f32, n_samps, max_frames,
+                                 jnp.float32(0.0), self.noise_init())
+        return cep
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def mfcc_chunk(self, signal_f32, n_samps, max_frames: int, prior,
+                   noise_state):
+        """Chunk MFCC with explicit streaming state: ``prior`` is the
+        sample preceding the chunk (pre-emphasis continuity,
+        fe_interface.c:393-575 overflow semantics) and ``noise_state`` the
+        noise-removal carry.  Returns (cep, new_noise_state)."""
         dt = self.dtype
         shift, size, nfft = self.frame_shift, self.frame_size, self.fft_size
         sig = signal_f32
@@ -436,7 +452,8 @@ class Frontend:
         # pre-emphasis in float64 over the whole signal (fe_pre_emphasis,
         # fe_sigproc.c:238-247, with cross-frame prior semantics)
         alpha = jnp.asarray(np.float32(self.pre_emphasis_alpha), dtype=dt)
-        prev = jnp.concatenate([jnp.zeros((1,), sig.dtype), sig[:-1]])
+        prev = jnp.concatenate([jnp.reshape(prior, (1,)).astype(sig.dtype),
+                                sig[:-1]])
         # zero out samples at/after n_samps so padding can't leak in
         valid = jnp.arange(n) < n_samps
         sig = jnp.where(valid, sig, 0.0)
@@ -466,12 +483,12 @@ class Frontend:
         spec = jnp.concatenate([spec0, spec], axis=-1)
         mfspec = self._mel_spec(spec)
         if self.remove_noise:
-            mfspec = self._remove_noise_scan(mfspec)
+            mfspec, noise_state = self._remove_noise_scan(mfspec, noise_state)
         logspec = jnp.log(mfspec + 1e-4)  # LOG_FLOOR, fe_sigproc.c:609
         mfcep = self._dct(logspec)
         if self._lifter is not None:
             mfcep = mfcep * jnp.asarray(self._lifter)
-        return mfcep
+        return mfcep, noise_state
 
     # -- convenience -------------------------------------------------------
 

@@ -32,13 +32,17 @@ MAX_NEG_ASCR = 96
 WORST_DIST = MAX_NEG_INT32
 
 
-def dist_checkpoints(am: AcousticModel, obs: np.ndarray):
+def dist_checkpoints(am: AcousticModel, obs: np.ndarray, group: int = 4):
     """All Mahalanobis distances with eval_cb's checkpoint partials.
 
     obs: [n_feat, L] float32.  Returns (checks, final) where
     checks: list of [cb, f, dens] float32 partial distances at the loop
-    conditions of eval_cb (before dim 0, after the pre-loop, after each
-    4-dim group except the last), final: [cb, f, dens] float32.
+    conditions of eval_cb, final: [cb, f, dens] float32.
+
+    group=4 gives the PTM checkpoint structure (before dim 0, after the
+    L%4 pre-loop, after each 4-dim group except the last,
+    ptm_mgau.c:181-202); group=1 the semi-continuous one (before every
+    dim, s2_semi_mgau.c:137-147).
 
     The fold subtracts per-dim terms in dimension order with float32
     rounding at every step, matching COMPUTE_GMM_MAP/REDUCE exactly.
@@ -49,6 +53,12 @@ def dist_checkpoints(am: AcousticModel, obs: np.ndarray):
     compl_ = (sq * am.var_t).astype(np.float32)
     d = am.det.astype(np.float32).copy()
     checks = [d.copy()]
+    if group == 1:
+        for i in range(L):
+            d = (d - compl_[..., i]).astype(np.float32)
+            if i < L - 1:
+                checks.append(d.copy())
+        return checks, d
     pre = L % 4
     for i in range(pre):
         d = (d - compl_[..., i]).astype(np.float32)
@@ -111,7 +121,8 @@ class ScorerNp:
         if frame >= self.frame_idx:
             self.hist_cw[fi] = self.hist_cw[li]
             self.hist_score[fi] = self.hist_score[li]
-            checks, final = dist_checkpoints(am, obs)
+            group = 1 if am.backend == "semi" else 4
+            checks, final = dist_checkpoints(am, obs, group)
             self._eval_topn(fi, final)
             if frame % am.ds_ratio == 0:
                 self._eval_cb(fi, checks, final, mgau_active)
@@ -137,12 +148,17 @@ class ScorerNp:
         cws = self.hist_cw[fi]
         N = self.max_topn
         act = mgau_active[:, None]  # [cb, 1]
+        semi = am.backend == "semi"
         for cw in range(am.n_density):
             thresh = scores[..., N - 1].astype(np.float32)  # (mfcc_t)worst
             ok = act.copy()
             for c in checks:
                 ok = ok & (c[..., cw] >= thresh)
-            ok = ok & (final[..., cw] >= thresh)
+            if semi:
+                # final check is int (s2_semi_mgau.c:155-156)
+                ok = ok & (int_dist(final[..., cw]) >= scores[..., N - 1])
+            else:
+                ok = ok & (final[..., cw] >= thresh)
             ok = ok & ~(cws == cw).any(axis=-1)
             if not ok.any():
                 continue
@@ -219,6 +235,10 @@ class ScorerNp:
             ascore += fden
         out = np.zeros(n_sen, np.int16)
         out[sens] = ascore
-        best = ascore.min() if len(ascore) else 0
-        out = (out.astype(np.int64) - best).astype(np.int16)
+        if am.backend != "semi":
+            # ptm subtracts the best evaluated score from every senone
+            # (ptm_mgau.c:397-400); the semi-continuous scorer does not
+            # (s2_semi_mgau_frame_eval accumulates raw, :826-875)
+            best = ascore.min() if len(ascore) else 0
+            out = (out.astype(np.int64) - best).astype(np.int16)
         return out

@@ -56,6 +56,7 @@ class ScorerTables:
     sen_remap: np.ndarray = field(metadata=dict(static=False))
     max_topn: int = field(metadata=dict(static=True), default=4)
     n_sen: int = field(metadata=dict(static=True), default=0)
+    backend: str = field(metadata=dict(static=True), default="ptm")
 
     @classmethod
     def from_am(cls, am: AcousticModel) -> "ScorerTables":
@@ -109,6 +110,7 @@ class ScorerTables:
             sen_remap=remap,
             max_topn=am.max_topn,
             n_sen=n_sen,
+            backend=am.backend,
         )
 
     @property
@@ -225,10 +227,13 @@ def score_frames(tables: ScorerTables, feats, dist_mode: str = "fold"):
         ascore = fden if ascore is None else ascore + fden
     # bestscore over real senones; pad columns mimic C's unevaluated
     # senones (memset 0 then -= best)
-    big = jnp.int32(1 << 30)
-    best = jnp.min(jnp.where(t.valid_g[None], ascore, big), axis=(1, 2))
     out = jnp.where(t.valid_g[None], ascore, 0).astype(jnp.int16)
-    out = out - best[:, None, None].astype(jnp.int16)
+    if t.backend != "semi":
+        # ptm subtracts the best evaluated score (ptm_mgau.c:397-400);
+        # the semi-continuous scorer does not (s2_semi_mgau.c:826-875)
+        big = jnp.int32(1 << 30)
+        best = jnp.min(jnp.where(t.valid_g[None], ascore, big), axis=(1, 2))
+        out = out - best[:, None, None].astype(jnp.int16)
     T = out.shape[0]
     return out.reshape(T, -1)
 
