@@ -1,0 +1,84 @@
+"""API-surface tests: endpointer, VAD, native IO, config round trip."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import DATADIR
+
+from soundswallower_tpu.config import Config
+from soundswallower_tpu.endpointer import Endpointer
+from soundswallower_tpu.vad import Vad
+from soundswallower_tpu.fe.cmn_live import CmnLive, CMN_WIN
+from soundswallower_tpu.utils.native_io import read_audio, pack_batch
+
+
+def test_config_roundtrip():
+    c = Config(hmm="/tmp/x", beam=1e-40)
+    js = c.serialize_json()
+    c2 = Config()
+    c2.parse_json(js)
+    assert c2["beam"] == 1e-40
+    assert c2["hmm"] == "/tmp/x"
+    # dash-prefixed keys accepted
+    assert c2["-beam"] == 1e-40
+    with pytest.raises(KeyError):
+        c2["nonexistent_param"]
+
+
+def test_config_defaults_match_reference():
+    c = Config()
+    assert c["beam"] == 1e-48
+    assert c["wbeam"] == 7e-29
+    assert c["maxhmmpf"] == 30000
+    assert c["lw"] == 6.5
+    assert c["wip"] == 0.65
+    assert c["silprob"] == 0.005
+    assert c["logbase"] == 1.0001
+    assert c["samprate"] == 16000
+    assert c["wlen"] == 0.025625
+    assert c["cmninit"] == "40,3,-1"
+
+
+def test_vad_frame_sizing():
+    v = Vad(sample_rate=16000, frame_length=0.03)
+    assert v.frame_size == 480
+    with pytest.raises(ValueError):
+        Vad(sample_rate=16000, frame_length=0.0301)
+
+
+def test_endpointer_segments_speech():
+    """The endpointer must detect the single speech region in goforward."""
+    ep = Endpointer(sample_rate=16000)
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", dtype=np.int16)
+    n = ep.frame_size
+    speech = []
+    for i in range(0, len(raw) - n + 1, n):
+        out = ep.process(raw[i:i + n])
+        if out is not None:
+            speech.append(out)
+    tail = ep.end_stream(raw[len(raw) - len(raw) % n:])
+    if tail is not None:
+        speech.append(tail)
+    assert speech, "No speech detected in goforward"
+    total = sum(len(s) for s in speech)
+    # the utterance is ~2.0s of speech inside 2.78s of audio
+    assert total > 16000  # at least a second
+
+
+def test_cmn_live_window_decay():
+    c = CmnLive(13)
+    frames = np.ones((900, 13), np.float32) * 10
+    c.process(frames)
+    assert c.nframe == CMN_WIN  # decayed past the high-water mark
+    c.update()
+    assert abs(float(c.mean[0]) - 10.0) < 0.5
+
+
+def test_native_io_wav_vs_raw():
+    s, r = read_audio(f"{DATADIR}/goforward.wav")
+    s2, r2 = read_audio(f"{DATADIR}/goforward.raw")
+    assert r == 16000 and r2 is None
+    assert (s == s2).all()
+    b = pack_batch([s, s2[:100]])
+    assert b.shape == (2, len(s))
+    assert b[1, 99] == float(s2[99]) and b[1, 100] == 0.0

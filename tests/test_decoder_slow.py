@@ -1,0 +1,72 @@
+"""Full-decode byte-parity tests (SST_SLOW=1): these run the complete
+exact two-pass pipeline (minutes per utterance on CPU)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import DATADIR, GOLDEN, slow
+
+
+@slow
+def test_goforward_json_byte_parity():
+    from soundswallower_tpu.decoder import Decoder
+
+    d = Decoder(hmm="/root/reference/model/en-us")
+    d.set_align_text("go forward ten meters")
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", dtype=np.int16)
+    d.start_utt()
+    d.process_raw(raw)
+    d.end_utt()
+    assert d.hyp() == "go forward ten meters"
+    segs = [(s["word"], s["sf"], s["ef"], s["ascr"], s["lscr"])
+            for s in d.seg_iter()]
+    gold = []
+    for line in open(f"{GOLDEN}/goforward-en/segs.txt"):
+        w, sf, ef, ascr, lscr = line.split()
+        gold.append((w, int(sf), int(ef), int(ascr), int(lscr)))
+    assert segs == gold
+    js = d.result_json(0.0, 2)
+    assert js == open(f"{GOLDEN}/goforward-en/result.json").read()
+
+
+@slow
+def test_austen_json_byte_parity():
+    from soundswallower_tpu.decoder import Decoder
+
+    d = Decoder(hmm="/root/reference/model/en-us", samprate=8000)
+    d.set_align_text("he was not an ill disposed young man")
+    raw = np.fromfile(f"{GOLDEN}/austen.raw", dtype=np.int16)
+    d.start_utt()
+    d.process_raw(raw)
+    d.end_utt()
+    js = d.result_json(0.0, 2)
+    assert js == open(f"{GOLDEN}/austen-en/result.json").read()
+
+
+@slow
+def test_fr_json_byte_parity():
+    from soundswallower_tpu.decoder import Decoder
+
+    d = Decoder(hmm="/root/reference/model/fr-fr")
+    d.set_align_text("avance de dix mètres")
+    raw = np.fromfile(f"{DATADIR}/goforward_fr.raw", dtype=np.int16)
+    d.start_utt()
+    d.process_raw(raw)
+    d.end_utt()
+    assert d.hyp() == "avance de dix mètres"
+    js = d.result_json(0.0, 2)
+    assert js == open(f"{GOLDEN}/goforward-fr/result.json").read()
+
+
+@slow
+def test_jsgf_grammar_decode():
+    """JSGF decode (BASELINE config 2): goforward.gram -> correct hyp."""
+    from soundswallower_tpu.decoder import Decoder
+
+    d = Decoder(hmm="/root/reference/model/en-us",
+                jsgf=f"{DATADIR}/goforward.gram")
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", dtype=np.int16)
+    d.start_utt()
+    d.process_raw(raw)
+    d.end_utt()
+    assert d.hyp() == "go forward ten meters"
