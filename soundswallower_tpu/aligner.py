@@ -239,10 +239,11 @@ class TpuAligner:
         ast, aen = jnp.asarray(g.astart), jnp.asarray(g.aend)
         fin = jnp.asarray(g.final_nodes)
 
-        def one(audio, n, T):
+        def fe_one(audio, n, T):
             cep = self.fe.mfcc(audio, n, Tmax)
-            feats = feats_full_utt(cep, T, self.config["cmn"])
-            senscr = score_frames(self.tables, feats, dist_mode)
+            return feats_full_utt(cep, T, self.config["cmn"])
+
+        def vit_one(senscr, T):
             tok_id, tok_score, out_score, out_hist = align_viterbi(
                 senscr, senid, tp, es, ed, ep, ast, aen, T, entry)
             fsc = out_score[fin]
@@ -252,4 +253,25 @@ class TpuAligner:
                                  out_score[final_node], T)
             return path, sc, out_score[final_node]
 
-        return jax.vmap(one)(buf, ns, Ts)
+        # Three separately-jitted stages: one fused mega-graph (or a
+        # vmapped scorer) sends this environment's AOT compiler into
+        # multi-minute compiles; staged dispatch reuses each stage's
+        # cached executable and loses nothing at these sizes.
+        if not hasattr(self, "_fe_batch_jit"):
+            self._fe_batch_jit = {}
+            self._vit_batch_jit = {}
+        key = (buf.shape, Tmax)
+        fe_j = self._fe_batch_jit.get(key)
+        if fe_j is None:
+            fe_j = self._fe_batch_jit[key] = jax.jit(jax.vmap(fe_one))
+        feats = fe_j(buf, ns, Ts)                       # [B,T,F,L]
+        B = feats.shape[0]
+        # Scoring is frame-independent: fold the batch into the frame axis.
+        flat = feats.reshape((-1,) + feats.shape[2:])
+        senscr = score_frames(self.tables, flat, dist_mode)
+        senscr = senscr.reshape(B, Tmax, -1)
+        gkey = (id(g), B, Tmax)
+        vit_j = self._vit_batch_jit.get(gkey)
+        if vit_j is None:
+            vit_j = self._vit_batch_jit[gkey] = jax.jit(jax.vmap(vit_one))
+        return vit_j(senscr, Ts)

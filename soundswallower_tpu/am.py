@@ -24,7 +24,7 @@ import numpy as np
 
 from .config import Config
 from .logmath import SENSCR_SHIFT, LogMath
-from .mdef import BinMdef
+from .mdef import BinMdef, read_mdef
 from . import s3file as s3
 
 
@@ -109,7 +109,7 @@ class AcousticModel:
     def load(cls, config: Config, lmath: LogMath | None = None) -> "AcousticModel":
         if lmath is None:
             lmath = LogMath(config.get_float("logbase"), 0, True)
-        mdef = BinMdef(config["mdef"])
+        mdef = read_mdef(config["mdef"])
         tp_raw = s3.read_tmat_params(config["tmat"])
         if tp_raw.shape[1] != mdef.n_emit_state:
             raise ValueError("tmat topology does not match mdef")

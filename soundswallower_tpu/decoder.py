@@ -77,6 +77,8 @@ class Decoder:
             remove_noise=config.get_bool("remove_noise"),
             remove_dc=config.get_bool("remove_dc"),
         )
+        if config["mllr"]:
+            self.update_mllr(config["mllr"])
         self.scorer = ScorerNp(self.am)
         self.search: FsgSearch | None = None
         self.align_search: StateAlignSearch | None = None
@@ -145,6 +147,15 @@ class Decoder:
         if wid >= 0:
             self.d2p.add_word(wid)
         return wid
+
+    def update_mllr(self, path: str):
+        """acmod_update_mllr (acmod.c:316-325): apply an MLLR transform to
+        the Gaussian parameters."""
+        from .mllr import Mllr, apply_mllr
+
+        apply_mllr(self.am, Mllr(path), self.config)
+        if hasattr(self, "scorer"):
+            self.scorer = ScorerNp(self.am)
 
     def lookup_word(self, word: str) -> str | None:
         wid = self.dict.wordid(word)

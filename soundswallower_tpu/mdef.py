@@ -31,8 +31,123 @@ N_WORD_POSN = 4
 S3_SILENCE_CIPHONE = "SIL"
 
 
+def read_mdef(path: str) -> "BinMdef":
+    """Read a model definition, text or binary (bin_mdef_read tries the
+    text parser first, bin_mdef.c:309-318)."""
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+    if head in (b"BMDF", b"FDMB"):
+        return BinMdef(path)
+    return BinMdef.from_text(path)
+
+
 class BinMdef:
     """In-memory binary model definition (reference: bin_mdef.h:119-148)."""
+
+    @classmethod
+    def from_text(cls, path: str) -> "BinMdef":
+        """Text-format mdef parser (mdef_init, mdef.c:488-665 +
+        bin_mdef_read_text's senone-sequence compression,
+        bin_mdef.c:166-250)."""
+        lines = []
+        with open(path, encoding="utf-8") as fh:
+            for raw in fh:
+                line = raw.strip()
+                if line and not line.startswith("#"):
+                    lines.append(line)
+        it = iter(lines)
+        version = next(it)
+        if not version.startswith("0.3"):
+            raise ValueError(f"mdef version error: expected 0.3, got {version}")
+        hdr = {}
+        while len(hdr) < 6:
+            n, tag = next(it).split()[:2]
+            hdr[tag] = int(n)
+        n_ci = hdr["n_base"]
+        n_tri = hdr["n_tri"]
+        n_map = hdr["n_state_map"]
+        n_emit = n_map // (n_ci + n_tri) - 1
+        if (n_emit + 1) * (n_ci + n_tri) != n_map:
+            raise ValueError("n_state_map not a multiple of n_ci+n_tri")
+
+        m = cls.__new__(cls)
+        m.n_ciphone = n_ci
+        m.n_phone = n_ci + n_tri
+        m.n_emit_state = n_emit
+        m.n_ci_sen = hdr["n_tied_ci_state"]
+        m.n_sen = hdr["n_tied_state"]
+        m.n_tmat = hdr["n_tied_tmat"]
+        m.n_ctx = 3
+        m._swap = False
+
+        wpos_of = {"b": WORD_POSN_BEGIN, "e": WORD_POSN_END,
+                   "s": WORD_POSN_SINGLE, "i": WORD_POSN_INTERNAL}
+        names: list[str] = []
+        filler = np.zeros(m.n_phone, np.uint8)
+        senmap = np.zeros((m.n_phone, n_emit), np.uint16)
+        tmat_of = np.zeros(m.n_phone, np.int32)
+        ci_of = np.zeros(m.n_phone, np.int32)
+        cd_map: dict = {}
+        name2id: dict[str, int] = {}
+        info = np.zeros((m.n_phone, 4), np.uint8)
+        for p in range(m.n_phone):
+            toks = next(it).split()
+            name, lc_s, rc_s, wpos_s, attrib, tmat = toks[:6]
+            states = toks[6:]
+            if states[-1] != "N":
+                raise ValueError(f"mdef line does not end in N: {toks}")
+            sen = [int(x) for x in states[:-1]]
+            if len(sen) != n_emit:
+                raise ValueError("Wrong number of emitting states")
+            if p < n_ci:
+                if lc_s != "-" or rc_s != "-" or wpos_s != "-":
+                    raise ValueError("Bad context info for base phone")
+                names.append(name)
+                name2id[name] = p
+                ci_of[p] = p
+                if attrib == "filler":
+                    filler[p] = 1
+                    info[p, 0] = 1
+            else:
+                ci = name2id[name]
+                lc = name2id[lc_s]
+                rc = name2id[rc_s]
+                wpos = wpos_of[wpos_s]
+                ci_of[p] = ci
+                info[p, 0] = wpos
+                info[p, 1] = ci & 0xFF
+                info[p, 2] = lc & 0xFF
+                info[p, 3] = rc & 0xFF
+                cd_map[(wpos, ci, lc, rc)] = p
+            senmap[p] = sen
+            tmat_of[p] = int(tmat)
+
+        # Compress senone sequences to unique ssids (bin_mdef_read_text)
+        uniq, inverse = np.unique(senmap, axis=0, return_inverse=True)
+        m.sseq = uniq.astype(np.uint16)
+        m.sseq_len = None
+        m.n_sseq = len(uniq)
+        m.n_cd_tree = len(cd_map)
+        m._cd_map = cd_map
+        m.phone_ssid = inverse.astype(np.int32)
+        m.phone_tmat = tmat_of
+        m.phone_info = info
+        m.ciname = names
+        m._ciname2id = name2id
+        m._pid2ci = ci_of
+        m.cd_ctx = m.cd_ndown = m.cd_down = np.zeros(0, np.int16)
+
+        # cd2cisen / sen2cimap (same derivation as the binary path)
+        m.cd2cisen = np.full(m.n_sen, -1, np.int16)
+        m.sen2cimap = np.full(m.n_sen, -1, np.int16)
+        m.cd2cisen[: m.n_ci_sen] = np.arange(m.n_ci_sen, dtype=np.int16)
+        sens = m.sseq[m.phone_ssid].astype(np.int64)
+        ci_sens = m.sseq[m.phone_ssid[ci_of]].astype(np.int16)
+        for j in range(n_emit):
+            m.cd2cisen[sens[:, j]] = ci_sens[:, j]
+            m.sen2cimap[sens[::-1, j]] = ci_of[::-1].astype(np.int16)
+        m.sil = m.ciphone_id(S3_SILENCE_CIPHONE)
+        return m
 
     def __init__(self, path: str):
         with open(path, "rb") as fh:
