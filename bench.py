@@ -29,6 +29,7 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
+    dist_mode = os.environ.get("BENCH_DIST", "fold")
 
     raw = np.fromfile("/root/reference/tests/data/goforward.raw", dtype=np.int16)
     text = "go forward ten meters"
@@ -39,12 +40,12 @@ def main():
     texts = [text] * batch
 
     # warmup/compile
-    segs = al.align_batch(audios, texts)
+    segs = al.align_batch(audios, texts, dist_mode)
     assert segs[0][1].word in ("go", "<sil>")
 
     t0 = time.time()
     for _ in range(reps):
-        segs = al.align_batch(audios, texts)
+        segs = al.align_batch(audios, texts, dist_mode)
     dt = (time.time() - t0) / reps
 
     value = audio_sec * batch / dt

@@ -163,6 +163,16 @@ class Config(dict):
         key = self._norm(key)
         super().__setitem__(key, _coerce(key, value))
 
+    def __delitem__(self, key):
+        """Unset a parameter (pyx Config.__delitem__): string/path
+        parameters go to None, typed parameters back to their default."""
+        key = self._norm(key)
+        super().__setitem__(key, None if TYPES[key] == "str" else DEFAULTS[key])
+
+    def dumps(self) -> str:
+        """Serialize to JSON (pyx Config.dumps)."""
+        return self.serialize_json()
+
     def get_int(self, key) -> int:
         v = self[key]
         return 0 if v is None else int(v)

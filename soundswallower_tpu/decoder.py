@@ -47,45 +47,72 @@ def senone_flags2list(active: set[int]) -> np.ndarray:
     return np.asarray(out, dtype=np.int64)
 
 
+_LOGLEVELS = ("DEBUG", "INFO", "WARN", "WARNING", "ERROR", "FATAL")
+
+
 class Decoder:
     def __init__(self, config: Config | dict | None = None, **kwargs):
         if config is None:
             config = Config(**kwargs)
         elif not isinstance(config, Config):
             config = Config(config)
-        self.config = config
+        self._config = config
+        # Model expansion happens once at creation (decoder_init_config ->
+        # config_expand, decoder.c:244-286); `initialize` / reinit does NOT
+        # re-expand, so users can `del decoder.config["dict"]` first.
         config.expand()
-        self.lmath = LogMath(config.get_float("logbase"), 0, True)
-        self.am = AcousticModel.load(config, self.lmath)
-        self.dict = Dictionary(
-            self.am.mdef, config["dict"], config["fdict"],
-            config.get_bool("dictcase"),
-        )
-        self.d2p = Dict2Pid(self.am.mdef, self.dict)
-        self.fe = Frontend(
-            sampling_rate=config.get_int("samprate"),
-            frame_rate=config.get_int("frate"),
-            window_length=config.get_float("wlen"),
-            fft_size=config.get_int("nfft"),
-            num_cepstra=config.get_int("ncep"),
-            num_filters=config.get_int("nfilt"),
-            lower_filt_freq=config.get_float("lowerf"),
-            upper_filt_freq=config.get_float("upperf"),
-            pre_emphasis_alpha=config.get_float("alpha"),
-            lifter_val=config.get_int("lifter"),
-            transform=config["transform"],
-            remove_noise=config.get_bool("remove_noise"),
-            remove_dc=config.get_bool("remove_dc"),
-        )
-        if config["mllr"]:
-            self.update_mllr(config["mllr"])
-        self.scorer = ScorerNp(self.am)
-        self.search: FsgSearch | None = None
-        self.align_search: StateAlignSearch | None = None
-        self._feats: np.ndarray | None = None
-        self._senscr_cache: dict[int, np.ndarray] = {}
-        self.output_frame = 0
-        self._grammar_from_config()
+        self.initialize()
+
+    @classmethod
+    def create(cls, config=None, **kwargs):
+        """Create and configure, but do not initialize (pyx:286-320)."""
+        self = cls.__new__(cls)
+        if config is None:
+            config = Config(**kwargs)
+        elif not isinstance(config, Config):
+            config = Config(config)
+        self._config = config
+        config.expand()
+        return self
+
+    @property
+    def config(self) -> Config:
+        return self._config
+
+    def initialize(self):
+        """decoder_reinit (decoder.c:466-486): build everything from the
+        current configuration."""
+        config = self._config
+        if config["loglevel"] and \
+                config["loglevel"].upper() not in _LOGLEVELS:
+            raise RuntimeError(f"Invalid loglevel {config['loglevel']}")
+        try:
+            self.lmath = LogMath(config.get_float("logbase"), 0, True)
+            self.am = AcousticModel.load(config, self.lmath)
+            self.dict = Dictionary(
+                self.am.mdef, config["dict"], config["fdict"],
+                config.get_bool("dictcase"),
+            )
+            self.d2p = Dict2Pid(self.am.mdef, self.dict)
+            self.reinit_feat()
+            if config["mllr"]:
+                self.update_mllr(config["mllr"])
+            self.scorer = ScorerNp(self.am)
+            self.search: FsgSearch | None = None
+            self.align_search: StateAlignSearch | None = None
+            self._feats: np.ndarray | None = None
+            self._senscr_cache: dict[int, np.ndarray] = {}
+            self._live = None
+            self._cmn_live = None
+            self._last_batch_mean = None
+            self.output_frame = 0
+            self._grammar_from_config()
+        except RuntimeError:
+            raise
+        except Exception as e:
+            # The reference surfaces all init failures as RuntimeError
+            # (pyx initialize(), decoder_reinit NULL returns)
+            raise RuntimeError(str(e)) from e
 
     # -- grammar setters (decoder.c:560-735) -------------------------------
 
@@ -97,9 +124,44 @@ class Decoder:
             self.set_jsgf_file(c["jsgf"])
 
     def set_fsg(self, fsg: FsgModel):
-        self.search = FsgSearch(fsg, self.config, self.am, self.dict,
-                                self.d2p, self.lmath)
+        try:
+            self.search = FsgSearch(fsg, self.config, self.am, self.dict,
+                                    self.d2p, self.lmath)
+        except ValueError as e:
+            raise RuntimeError(str(e)) from e
         self.align_search = None
+
+    def read_fsg(self, filename: str) -> FsgModel:
+        """Read a grammar from an FSG file (pyx:556-575)."""
+        return FsgModel.read_fsg_file(filename, self.lmath,
+                                      self.config.get_float("lw"))
+
+    def read_jsgf(self, filename: str) -> FsgModel:
+        """Read a JSGF grammar (pyx:577-597)."""
+        jsgf = Jsgf.parse_file(filename)
+        rule = jsgf.get_rule(self.config["toprule"]) if self.config["toprule"] \
+            else jsgf.default_rule()
+        return jsgf.build_fsg(rule, self.lmath, self.config.get_float("lw"))
+
+    def create_fsg(self, name, start_state, final_state, transitions):
+        """Create an FSG from a transition list (pyx:599-660)."""
+        import itertools
+
+        n_state = max(itertools.chain(
+            *((t[0], t[1]) for t in transitions))) + 1
+        lw = self.config.get_float("lw")
+        fsg = FsgModel(name, self.lmath, lw, n_state)
+        fsg.start_state = start_state
+        fsg.final_state = final_state
+        for t in transitions:
+            source, dest, prob = t[0:3]
+            logp = int(self.lmath.log(prob) * lw)
+            if len(t) > 3:
+                wid = fsg.word_add(t[3])
+                fsg.trans_add(source, dest, logp, wid)
+            else:
+                fsg.null_trans_add(source, dest, logp)
+        return fsg
 
     def set_fsg_file(self, path: str):
         fsg = FsgModel.read_fsg_file(path, self.lmath,
@@ -181,8 +243,11 @@ class Decoder:
         """decoder_process_int16 (decoder.c:959-1031): full-utterance or
         chunked (streaming) processing.
 
-        audio: int16 numpy array (or float32 in [-1,1) which is scaled by
-        32768 like fe_process_float32)."""
+        audio: int16 numpy array, raw bytes (interpreted as int16 like the
+        reference binding), or float32 in [-1,1) which is scaled by 32768
+        like fe_process_float32."""
+        if isinstance(audio, (bytes, bytearray, memoryview)):
+            audio = np.frombuffer(audio, dtype=np.int16)
         audio = np.asarray(audio)
         if audio.dtype == np.int16:
             sig = audio.astype(np.float32)
@@ -365,12 +430,40 @@ class Decoder:
 
     # -- results -----------------------------------------------------------
 
-    def hyp(self):
+    def _hyp_text_score(self):
         if self.align_search is not None:
-            return self.align_search.hyp()[0]
+            return self.align_search.hyp()
         if self.search is None:
-            return None
-        return self.search.hyp()[0]
+            return None, 0
+        return self.search.hyp()
+
+    @property
+    def hyp(self):
+        """Current recognition hypothesis as a Hyp namedtuple
+        (pyx:468-487): text, score and prob are probabilities via
+        logmath_exp."""
+        from . import Hyp
+
+        text, score = self._hyp_text_score()
+        if text is None:
+            return Hyp(text=None, score=0.0, prob=0.0)
+        return Hyp(text=text, score=self.lmath.exp(int(score)),
+                   prob=self.lmath.exp(self.prob))
+
+    @property
+    def seg(self):
+        """Current word segmentation as Seg namedtuples (pyx:530-554):
+        times in seconds, scores as probabilities."""
+        from . import Seg
+
+        frate = self.config.get_int("frate")
+        for s in self.seg_iter():
+            if s["word"] is None:
+                continue
+            yield Seg(text=s["word"], start=s["sf"] / frate,
+                      duration=(s["ef"] + 1 - s["sf"]) / frate,
+                      ascore=self.lmath.exp(int(s["ascr"])),
+                      lscore=self.lmath.exp(int(s["lscr"])))
 
     @property
     def prob(self) -> int:
@@ -438,7 +531,7 @@ class Decoder:
         def fmt(b, d, p, t):
             return f'{{"b":{b:.3f},"d":{d:.3f},"p":{p:.3f},"t":"{t}"'
 
-        hyp = self.hyp() or ""
+        hyp = self._hyp_text_score()[0] or ""
         out = [fmt(start, duration, lmath.exp(self.prob), hyp)]
         out.append(',"w":[')
         if align_level:
@@ -545,18 +638,23 @@ class Decoder:
         frate = self.config.get_int("frate")
         segs = [
             Seg(s["word"], s["sf"] / frate, (s["ef"] + 1 - s["sf"]) / frate,
-                s["ascr"], s["lscr"])
+                self.lmath.exp(int(s["ascr"])), self.lmath.exp(int(s["lscr"])))
             for s in self.seg_iter() if s["word"] is not None
         ]
-        return self.hyp(), segs
+        return self._hyp_text_score()[0], segs
 
     def dumps(self, start: float = 0.0, align_level: int = 0) -> str:
         """decoder_result_json as a str (pyx ``dumps``)."""
         return self.result_json(start, align_level)
 
     def reinit_feat(self):
-        """decoder_reinit_feat: rebuild the front end from config."""
+        """decoder_reinit_feat: rebuild the front end from config
+        (raises RuntimeError on invalid FE parameters, pyx:360-370)."""
         c = self.config
+        if c.get_float("upperf") > c.get_int("samprate") / 2 + 1.0:
+            # fe_init check (fe_interface.c:299-305)
+            raise RuntimeError(
+                f"Upper frequency {c['upperf']} is higher than samprate/2")
         self.fe = Frontend(
             sampling_rate=c.get_int("samprate"),
             frame_rate=c.get_int("frate"),

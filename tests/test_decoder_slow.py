@@ -17,7 +17,7 @@ def test_goforward_json_byte_parity():
     d.start_utt()
     d.process_raw(raw)
     d.end_utt()
-    assert d.hyp() == "go forward ten meters"
+    assert d.hyp.text == "go forward ten meters"
     segs = [(s["word"], s["sf"], s["ef"], s["ascr"], s["lscr"])
             for s in d.seg_iter()]
     gold = []
@@ -53,7 +53,7 @@ def test_fr_json_byte_parity():
     d.start_utt()
     d.process_raw(raw)
     d.end_utt()
-    assert d.hyp() == "avance de dix mètres"
+    assert d.hyp.text == "avance de dix mètres"
     js = d.result_json(0.0, 2)
     assert js == open(f"{GOLDEN}/goforward-fr/result.json").read()
 
@@ -69,4 +69,4 @@ def test_jsgf_grammar_decode():
     d.start_utt()
     d.process_raw(raw)
     d.end_utt()
-    assert d.hyp() == "go forward ten meters"
+    assert d.hyp.text == "go forward ten meters"
