@@ -68,7 +68,7 @@ class StateAlignSearch:
         for hmm in self.hmms:
             if hmm.frame < frame_idx:
                 continue
-            score = hmm.vit_eval_3st(senscr, tmat[hmm.tmatid])
+            score = hmm.vit_eval(senscr, tmat[hmm.tmatid])
             if score > bs:
                 bs = score
         self.best_score = bs
@@ -90,20 +90,17 @@ class StateAlignSearch:
             nhmm = self.hmms[i + 1]
             if nhmm.frame < frame_idx or hmm.out_score > nhmm.score[0]:
                 nhmm.enter(hmm.out_score, hmm.out_history, nf)
-        # Record tokens
-        S = 3
+        # Record tokens (index 0 is the "in" slot, like hmm_history(h,0))
+        S = self.am.mdef.n_emit_state
         tok = np.full((self.n_phones * S, 2), -1, dtype=np.int64)
         for i, hmm in enumerate(self.hmms):
             if hmm.frame < frame_idx:
                 continue
             for j in range(S):
                 idx = i * S + j
-                tok[idx, 0] = hmm.history[j] if j > 0 else hmm.history[0]
-                tok[idx, 1] = hmm.score[j] if j > 0 else hmm.score[0]
+                tok[idx, 0] = hmm.history[j]
+                tok[idx, 1] = hmm.score[j]
                 hmm.history[j] = idx
-        # fix: history[0] is in_history, score[0] in_score; C records
-        # hmm_history(hmm, j) and hmm_score(hmm, j) where index 0 is the
-        # "in" slot -- which is what our Hmm stores in history[0]/score[0].
         self.tokens.append(tok)
         self.frame += 1
         return 0
@@ -116,7 +113,6 @@ class StateAlignSearch:
         if last_id == -1:
             return -1  # Failed to reach final state
         al = self.al
-        S = 3
         last = (last_id, last_score)
         last_frame = self.frame
         cur_frame = self.frame - 2

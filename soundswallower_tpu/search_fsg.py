@@ -239,7 +239,7 @@ class FsgSearch:
         for pn in self.pnode_active:
             hmm = pn.hmm
             assert hmm.frame == self.frame
-            score = hmm.vit_eval_3st(senscr, tmat[hmm.tmatid])
+            score = hmm.vit_eval(senscr, tmat[hmm.tmatid])
             if score > best:
                 best = score
             n += 1
