@@ -101,6 +101,7 @@ class AcousticModel:
     backend: str              # 'ptm' | 'semi' | 'ms'
     max_topn: int = 4
     ds_ratio: int = 1
+    aw: int = 1
     n_feat: int = 3
     n_density: int = 128
     veclen: list = field(default_factory=lambda: [13, 13, 13])
@@ -125,6 +126,23 @@ class AcousticModel:
         lmath_8b = LogMath(lmath.base, SENSCR_SHIFT, True)
         if lmath_8b.width != 1:
             raise ValueError("Log base too small for 8-bit add table")
+
+        # senmgau forces the general multi-stream backend
+        # (acmod_load_am, acmod.c:101-107)
+        if config["senmgau"]:
+            sen2cb = s3.read_senmgau(config["senmgau"]).astype(np.int32)
+            if len(sen2cb) != mdef.n_sen:
+                raise ValueError("senmgau size != n_sen")
+            pdf = s3.read_mixw_float(config["mixw"])
+            mixw = quantize_mixw_ms(pdf, config.get_float("mixwfloor"), lmath)
+            return cls(
+                mdef=mdef, tmat=tmat, means=means, var_t=var_t, det=det,
+                mixw=mixw, mixw_cb=None, sen2cb=sen2cb, lmath=lmath,
+                lmath_8b=lmath_8b, backend="ms",
+                max_topn=config.get_int("topn"),
+                ds_ratio=config.get_int("ds"), aw=config.get_int("aw"),
+                n_feat=n_feat, n_density=n_density, veclen=veclen,
+            )
 
         mixw_cb = None
         if config["sendump"]:
@@ -155,6 +173,7 @@ class AcousticModel:
             mixw=mixw, mixw_cb=mixw_cb, sen2cb=sen2cb, lmath=lmath,
             lmath_8b=lmath_8b, backend=backend,
             max_topn=config.get_int("topn"), ds_ratio=config.get_int("ds"),
+            aw=config.get_int("aw"),
             n_feat=n_feat, n_density=n_density, veclen=veclen,
         )
 
@@ -184,4 +203,26 @@ def quantize_mixw(pdf: np.ndarray, mixw_floor: float, lmath_8b: LogMath) -> np.n
                 if qscr > MAX_NEG_MIXW or qscr < 0:
                     qscr = MAX_NEG_MIXW
                 out[f, c, i] = qscr
+    return out
+
+
+def quantize_mixw_ms(pdf: np.ndarray, mixw_floor: float,
+                     lmath: LogMath) -> np.ndarray:
+    """senone_mixw_read quantization (ms_senone.c:104-200): normalize,
+    floor, renormalize, then rounded SENSCR_SHIFT truncation of the
+    full-precision negated log, clamped at 255.  Returns the untransposed
+    [n_sen, n_feat, n_cw] uint8 layout used when n_gauden > 1."""
+    n_sen, n_feat, n_comp = pdf.shape
+    out = np.zeros((n_sen, n_feat, n_comp), dtype=np.uint8)
+    for i in range(n_sen):
+        for f in range(n_feat):
+            row = pdf[i, f].astype(np.float32).copy()
+            _vector_sum_norm(row)
+            row[row.astype(np.float64) < mixw_floor] = np.float32(mixw_floor)
+            _vector_sum_norm(row)
+            for c in range(n_comp):
+                p = -lmath.log(float(row[c]))
+                p += (1 << (SENSCR_SHIFT - 1)) - 1
+                out[i, f, c] = (p >> SENSCR_SHIFT) \
+                    if p < (255 << SENSCR_SHIFT) else 255
     return out

@@ -26,7 +26,7 @@ from .fe.frontend import Frontend
 from .fsg import FsgModel
 from .jsgf import Jsgf
 from .logmath import LogMath
-from .ops.senscore import ScorerNp
+from .ops.senscore import MsScorerNp, ScorerNp
 from .search_align import StateAlignSearch
 from .search_fsg import FsgSearch
 
@@ -97,7 +97,8 @@ class Decoder:
             self.reinit_feat()
             if config["mllr"]:
                 self.update_mllr(config["mllr"])
-            self.scorer = ScorerNp(self.am)
+            self.scorer = MsScorerNp(self.am) if self.am.backend == "ms" \
+                else ScorerNp(self.am)
             self.search: FsgSearch | None = None
             self.align_search: StateAlignSearch | None = None
             self._feats: np.ndarray | None = None
@@ -217,7 +218,8 @@ class Decoder:
 
         apply_mllr(self.am, Mllr(path), self.config)
         if hasattr(self, "scorer"):
-            self.scorer = ScorerNp(self.am)
+            self.scorer = MsScorerNp(self.am) if self.am.backend == "ms" \
+                else ScorerNp(self.am)
 
     def lookup_word(self, word: str) -> str | None:
         wid = self.dict.wordid(word)

@@ -80,6 +80,128 @@ def int_dist(d: np.ndarray) -> np.ndarray:
     return out
 
 
+class MsScorerNp:
+    """Exact replication of the fully-continuous multi-stream scorer
+    (``src/ms_mgau.c`` + ``src/ms_senone.c``): per-codebook top-N Gaussian
+    distances (compute_dist, ms_gauden.c:385-433: fresh float insertion
+    lists with per-dim early termination), senone evaluation with
+    rounded-shift densities and full log-add table (senone_eval,
+    ms_senone.c:315-362), acoustic-weight downscale and int16-clamped
+    normalization (ms_cont_mgau_frame_eval, ms_mgau.c:279-368).
+
+    Stateless across frames (ms keeps no top-N history)."""
+
+    def __init__(self, am: AcousticModel):
+        self.am = am
+        # ms_cont_mgau_frame_eval never clears senone_scores, so senones
+        # outside the active list keep stale values across frames
+        # (ms_mgau.c:279-368 has no memset); replicated via a persistent
+        # buffer.
+        self._buf = np.zeros(am.n_sen, np.int16)
+        self.frame_idx = 0
+
+    def start_utt(self):
+        self.frame_idx = 0
+
+    def frame_eval(self, obs: np.ndarray, frame: int,
+                   mgau_active: np.ndarray | None = None,
+                   senone_active: np.ndarray | None = None) -> np.ndarray:
+        am = self.am
+        topn = min(am.max_topn, am.n_density) if am.max_topn > 0 \
+            else am.n_density
+        n_sen = am.n_sen
+        if senone_active is None:
+            sens = np.arange(n_sen)
+        else:
+            sens = np.asarray(senone_active)
+        cbs_needed = np.zeros(am.n_mgau, bool)
+        cbs_needed[am.sen2cb[sens]] = True
+
+        # compute_dist per active codebook/feature (sequential scan with
+        # float threshold; vectorized over (cb, f))
+        checks, final = dist_checkpoints(am, obs, group=1)
+        n_cb, n_feat, D = final.shape
+        N = topn
+        top_d = np.full((n_cb, n_feat, N), np.float32(-2.0**62), np.float32)
+        top_d[:] = np.float32(WORST_DIST)
+        top_id = np.zeros((n_cb, n_feat, N), np.int64)
+        if topn >= am.n_density:
+            # compute_dist_all (ms_gauden.c:350-383): densities in index
+            # order, NOT sorted
+            top_id = np.broadcast_to(np.arange(D), final.shape).copy()
+            top_d = final.copy()
+        else:
+            for cw in range(am.n_density):
+                worst = top_d[..., N - 1]
+                ok = cbs_needed[:, None].copy()
+                for c in checks:
+                    ok = ok & (c[..., cw] >= worst)
+                ok = ok & (final[..., cw] >= worst)
+                if not ok.any():
+                    continue
+                dval = final[..., cw]
+                # insert before entries with dist <= dval (ties: new above)
+                rank = (top_d > dval[..., None]).sum(axis=-1)
+                nd, ni = top_d.copy(), top_id.copy()
+                for k in range(N - 1, -1, -1):
+                    put = ok & (rank == k)
+                    nd[..., k] = np.where(put, dval, nd[..., k])
+                    ni[..., k] = np.where(put, cw, ni[..., k])
+                    if k + 1 < N:
+                        shift = ok & (rank <= k)
+                        nd[..., k + 1] = np.where(shift, top_d[..., k],
+                                                  nd[..., k + 1])
+                        ni[..., k + 1] = np.where(shift, top_id[..., k],
+                                                  ni[..., k + 1])
+                top_d, top_id = nd, ni
+
+        # senone_eval (ms_senone.c:315-362)
+        cbs = am.sen2cb[sens]
+        # fden: rounded shift of int32-cast distance
+        di = int_dist(top_d)  # [cb, f, N] int64
+        fden = np.where(top_d < np.float32(MAX_NEG_INT32),
+                        MAX_NEG_INT32 >> SENSCR_SHIFT,
+                        (di + ((1 << SENSCR_SHIFT) - 1)) >> SENSCR_SHIFT)
+        # senone_eval's logmath_add uses the senone's own 8-bit shifted
+        # table (s->lmath, ms_senone.c:212), not the main shift-0 lmath
+        lmath = am.lmath_8b
+        zero = lmath.zero
+        table = lmath.table.astype(np.int64)
+        tsize = len(table)
+        scr = np.zeros(len(sens), np.int64)
+        for f in range(n_feat):
+            fscr = None
+            for t in range(topn):
+                cw_t = top_id[cbs, f, t]
+                if am.backend == "ms" and am.n_mgau > 1:
+                    mixw_t = am.mixw[sens, f, cw_t].astype(np.int64)
+                else:
+                    mixw_t = am.mixw[f, cw_t, sens].astype(np.int64)
+                fwscr = fden[cbs, f, t] + -mixw_t
+                if fscr is None:
+                    fscr = fwscr
+                else:
+                    # logmath_add (logmath.c:229-272)
+                    x, y = fscr, fwscr
+                    r = np.maximum(x, y)
+                    lo = np.minimum(x, y)
+                    d = r - lo
+                    add = np.where(d < tsize, table[np.minimum(d, tsize - 1)], 0)
+                    res = r + add
+                    res = np.where(x <= zero, y, res)
+                    res = np.where(y <= zero, np.where(x <= zero, res, x), res)
+                    fscr = res
+            scr -= fscr
+        aw = getattr(am, "aw", 1)
+        # C integer division truncates toward zero
+        scr = (np.sign(scr) * (np.abs(scr) // aw)).astype(np.int64)
+        scr = np.clip(scr, -32768, 32767)
+        best = scr.min() if len(scr) else 0
+        normed = np.clip(scr - best, -32768, 32767)
+        self._buf[sens] = normed
+        return self._buf.copy()
+
+
 class ScorerNp:
     """Exact numpy replication of ptm_mgau scoring.
 

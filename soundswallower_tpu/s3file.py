@@ -257,6 +257,41 @@ def read_mixw_float(path: str):
     return pdf
 
 
+def read_senmgau(path: str) -> np.ndarray:
+    """Read a senone->codebook mapping file (senone_mgau_map_read,
+    ms_senone.c:33-101; the get_1d variant: int32 count + uint32 data)."""
+    s = S3File.from_file(path)
+    s.parse_header()
+    n = s.read_int32()
+    return s.read_array(np.uint32, n).copy()
+
+
+def _write_s3_header(fh, version: str = "1.0"):
+    fh.write(b"s3\n")
+    fh.write(f"version {version}\n".encode())
+    fh.write(b"endhdr\n")
+    fh.write(np.array([BYTE_ORDER_MAGIC], dtype=np.uint32).tobytes())
+
+
+def write_senmgau(path: str, mapping: np.ndarray):
+    """Write a senone->codebook map in the 1d-array format."""
+    with open(path, "wb") as fh:
+        _write_s3_header(fh, "0.1")
+        fh.write(np.array([len(mapping)], np.int32).tobytes())
+        fh.write(np.asarray(mapping, np.uint32).tobytes())
+
+
+def write_mixw_float(path: str, pdf: np.ndarray):
+    """Write float mixture weights [n_sen, n_feat, n_comp] (the format
+    read_mixw/senone_mixw_read consume)."""
+    n_sen, n_feat, n_comp = pdf.shape
+    with open(path, "wb") as fh:
+        _write_s3_header(fh, "1.0")
+        fh.write(np.array([n_sen, n_feat, n_comp,
+                           n_sen * n_feat * n_comp], np.int32).tobytes())
+        fh.write(np.asarray(pdf, np.float32).tobytes())
+
+
 def read_lda(path: str):
     """Read an LDA/feature transform file (lda.c:60-123 read_lda).
 

@@ -11,7 +11,10 @@ covers every component against the same C-reference golden data.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the environment pins JAX_PLATFORMS=axon (TPU tunnel), and
+# only one process may hold the tunnel — tests must not contend with a
+# concurrently running benchmark.  setdefault() is not enough.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -46,6 +49,28 @@ def fr_fr():
     from soundswallower_tpu.am import AcousticModel
 
     cfg = Config(hmm=os.path.join(MODELDIR, "fr-fr"))
+    cfg.expand()
+    return AcousticModel.load(cfg), cfg
+
+
+@pytest.fixture(scope="session")
+def ms_en(tmp_path_factory):
+    """en-us forced into the fully-continuous (ms) backend via a
+    synthesized senmgau map + float mixture weights (see
+    tools/make_ms_model.py; goldens in tests/golden/ms-en were produced
+    by the C oracle against the same synthesized files)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_ms_model import make_ms_model
+
+    from soundswallower_tpu.am import AcousticModel
+    from soundswallower_tpu.config import Config
+
+    outdir = str(tmp_path_factory.mktemp("ms-model"))
+    mixw, senmgau = make_ms_model(os.path.join(MODELDIR, "en-us"), outdir)
+    cfg = Config(hmm=os.path.join(MODELDIR, "en-us"),
+                 senmgau=senmgau, mixw=mixw)
     cfg.expand()
     return AcousticModel.load(cfg), cfg
 

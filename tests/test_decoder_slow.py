@@ -70,3 +70,23 @@ def test_jsgf_grammar_decode():
     d.process_raw(raw)
     d.end_utt()
     assert d.hyp.text == "go forward ten meters"
+
+
+@slow
+def test_ms_backend_json_byte_parity(ms_en):
+    """Full two-pass decode in the fully-continuous (ms) backend, vs the
+    C oracle run with the same synthesized senmgau/float-mixw model."""
+    from soundswallower_tpu.decoder import Decoder
+
+    _, cfg = ms_en
+    d = Decoder(hmm="/root/reference/model/en-us",
+                senmgau=cfg["senmgau"], mixw=cfg["mixw"])
+    d.set_align_text("go forward ten meters")
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", dtype=np.int16)
+    d.start_utt()
+    d.process_raw(raw)
+    d.end_utt()
+    assert d.hyp.text == "go forward ten meters"
+    d.alignment()
+    js = d.result_json(0.0, 2)
+    assert js == open(f"{GOLDEN}/ms-en/result.json").read()

@@ -56,3 +56,42 @@ def test_naive_topk_close_to_reference(en_us):
         mism += (~same).sum()
         total += same.size
     assert mism / total < 0.005
+
+
+def test_ms_senscr_bitexact(ms_en):
+    """Fully-continuous (ms) backend compallsen scores vs C oracle run
+    with the same synthesized senmgau/mixw (ms_mgau.c ms_cont_mgau_frame_eval
+    + ms_senone.c senone_eval + ms_gauden.c compute_dist)."""
+    from soundswallower_tpu.ops.senscore import MsScorerNp
+
+    am, _ = ms_en
+    assert am.backend == "ms"
+    feat = golden("ms-en", "feat.f32", np.float32, (-1, 3, 13))
+    gold = golden("ms-en", "senscr.i16", np.int16, (-1, am.n_sen))
+    sc = MsScorerNp(am)
+    for t in range(0, 30):
+        out = sc.frame_eval(feat[t], t)
+        assert np.array_equal(out, gold[t]), f"frame {t}"
+
+
+def test_ms_senscr_active_subset(ms_en):
+    """Active-senone path: scores of evaluated senones match compallsen
+    values, others keep stale buffer contents (ms_mgau.c:322-368)."""
+    from soundswallower_tpu.ops.senscore import MsScorerNp
+
+    am, _ = ms_en
+    feat = golden("ms-en", "feat.f32", np.float32, (-1, 3, 13))
+    gold = golden("ms-en", "senscr.i16", np.int16, (-1, am.n_sen))
+    sc = MsScorerNp(am)
+    rng = np.random.RandomState(7)
+    sens = np.unique(rng.randint(0, am.n_sen, 300))
+    out = sc.frame_eval(feat[0], 0, senone_active=sens)
+    # active-subset normalization base differs (min over subset), so
+    # compare score *differences* within the subset
+    g = gold[0][sens].astype(np.int64)
+    o = out[sens].astype(np.int64)
+    assert np.array_equal(o - o.min(), g - g.min())
+    # non-active senones untouched (stale zero-init buffer)
+    mask = np.ones(am.n_sen, bool)
+    mask[sens] = False
+    assert (out[mask] == 0).all()

@@ -55,7 +55,11 @@ int main(int argc, char *argv[]) {
     rawfile = argv[2];
     outdir = argv[3];
 
-    if (argc > 5)
+    if (argc > 5 && argv[5][0] == '{')
+        /* extra config fragment: {"key": val, ...} merged after hmm */
+        snprintf(json, sizeof(json), "{\"hmm\": \"%s\", %s", modeldir,
+                 argv[5] + 1);
+    else if (argc > 5)
         snprintf(json, sizeof(json), "{\"hmm\": \"%s\", \"samprate\": %d}",
                  modeldir, atoi(argv[5]));
     else
