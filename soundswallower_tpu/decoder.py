@@ -669,6 +669,8 @@ class Decoder:
             pre_emphasis_alpha=c.get_float("alpha"),
             lifter_val=c.get_int("lifter"),
             transform=c["transform"],
+            warp_type=c["warp_type"] or "inverse_linear",
+            warp_params=c["warp_params"],
             remove_noise=c.get_bool("remove_noise"),
             remove_dc=c.get_bool("remove_dc"),
         )

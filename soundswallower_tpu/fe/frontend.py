@@ -52,14 +52,19 @@ def _f32(x) -> np.float32:
     return np.float32(x)
 
 
-def _mel(x_f32: np.float32) -> np.float32:
-    """fe_mel (fe_sigproc.c:70-76), identity warp (default inverse_linear)."""
+def _mel(x_f32: np.float32, warp=None) -> np.float32:
+    """fe_mel (fe_sigproc.c:70-76): warp, then mel scale."""
+    if warp is not None:
+        x_f32 = warp.unwarped_to_warped(np.float32(x_f32))
     return np.float32(2595.0 * math.log10(1.0 + float(x_f32) / 700.0))
 
 
-def _melinv(x_f32: np.float32) -> np.float32:
-    """fe_melinv (fe_sigproc.c:78-83)."""
-    return np.float32(700.0 * (math.pow(10.0, float(x_f32) / 2595.0) - 1.0))
+def _melinv(x_f32: np.float32, warp=None) -> np.float32:
+    """fe_melinv (fe_sigproc.c:78-83): inverse mel scale, then unwarp."""
+    f = np.float32(700.0 * (math.pow(10.0, float(x_f32) / 2595.0) - 1.0))
+    if warp is not None:
+        f = warp.warped_to_unwarped(f)
+    return f
 
 
 def build_melfilters(
@@ -71,14 +76,15 @@ def build_melfilters(
     doublewide: bool = False,
     round_filters: bool = True,
     unit_area: bool = True,
+    warp=None,
 ):
     """fe_build_melfilters (fe_sigproc.c:85-199) with float32 arithmetic.
 
     Returns (spec_start[int32 per filter], widths, coeffs list of float32
     arrays).
     """
-    melmin = _mel(_f32(lower_filt_freq))
-    melmax = _mel(_f32(upper_filt_freq))
+    melmin = _mel(_f32(lower_filt_freq), warp)
+    melmax = _mel(_f32(upper_filt_freq), warp)
     melbw = np.float32((melmax - melmin) / np.float32(num_filters + 1))
     if doublewide:
         melmin = np.float32(melmin - melbw)
@@ -92,9 +98,9 @@ def build_melfilters(
         freqs = []
         for j in range(3):
             if doublewide:
-                f = _melinv(np.float32(np.float32((i + j * 2)) * melbw + melmin))
+                f = _melinv(np.float32(np.float32((i + j * 2)) * melbw + melmin), warp)
             else:
-                f = _melinv(np.float32(np.float32((i + j)) * melbw + melmin))
+                f = _melinv(np.float32(np.float32((i + j)) * melbw + melmin), warp)
             if round_filters:
                 # ((int)(freqs[j] / fftfreq + 0.5)) * fftfreq; the +0.5 is a
                 # double op in C (0.5 literal), int cast truncates.
@@ -181,6 +187,8 @@ class Frontend:
     pre_emphasis_alpha: float = 0.97
     lifter_val: int = 0
     transform: str = "legacy"
+    warp_type: str = "inverse_linear"
+    warp_params: str | None = None
     remove_noise: bool = False
     remove_dc: bool = False
     round_filters: bool = True
@@ -218,6 +226,9 @@ class Frontend:
         self._sss = np.sin(ang)
         self._perm, self._stages = _fft_stage_indices(self.fft_size)
 
+        from .warp import Warp
+
+        warp = Warp(self.warp_type, self.warp_params, self.sampling_rate)
         spec_start, widths, coeffs = build_melfilters(
             self.sampling_rate,
             self.fft_size,
@@ -227,6 +238,7 @@ class Frontend:
             self.doublewide,
             self.round_filters,
             self.unit_area,
+            warp,
         )
         self._spec_start = spec_start
         self._widths = widths

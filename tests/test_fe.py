@@ -3,7 +3,9 @@
 import numpy as np
 import pytest
 
-from tests.conftest import DATADIR, GOLDEN, golden
+import os
+
+from tests.conftest import DATADIR, GOLDEN, golden, slow
 
 from soundswallower_tpu.fe.frontend import Frontend
 from soundswallower_tpu.fe.feat import feats_full_utt_np, cmn_batch_np
@@ -57,3 +59,62 @@ def test_frame_counts():
     assert fe.n_frames(0) == 0
     assert fe.n_frames(160) == 1
     assert fe.n_frames(410 + 160) == 3
+
+
+# -- VTLN frequency warping (fe_warp_*.c) -----------------------------------
+
+WARPS = [("affine", "1.2 150"), ("piecewise", "0.9"), ("inverse", "0.95")]
+WARP_TYPE = {"affine": "affine", "piecewise": "piecewise_linear",
+             "inverse": "inverse_linear"}
+
+
+@pytest.mark.parametrize("name,params", WARPS)
+def test_warped_melfilters_match_reference(name, params):
+    """Filter placement + float32 coefficients vs a C dump (default FE
+    config) for each warp function."""
+    from soundswallower_tpu.fe.frontend import build_melfilters
+    from soundswallower_tpu.fe.warp import Warp
+
+    w = Warp(WARP_TYPE[name], params, 16000)
+    spec_start, widths, coeffs = build_melfilters(
+        16000, 512, 40, 133.33334, 6855.4976, warp=w)
+    path = os.path.join(GOLDEN, "warp", f"melfb_{name}.txt")
+    for line in open(path):
+        head, vals = line.split(":")
+        i, start, width = (int(x) for x in head.split())
+        assert spec_start[i] == start, f"filter {i} start"
+        assert widths[i] == width, f"filter {i} width"
+        gold = np.array([np.float32(v) for v in vals.split()], np.float32)
+        assert np.array_equal(coeffs[i], gold), f"filter {i} coeffs"
+
+
+def test_warp_neutral_and_errors():
+    from soundswallower_tpu.fe.warp import Warp
+
+    # No params -> identity for every type (set_parameters(NULL))
+    for t in ("affine", "piecewise_linear", "inverse_linear"):
+        w = Warp(t, None, 16000)
+        assert w.neutral and float(w.unwarped_to_warped(np.float32(440.0))) == 440.0
+    # Zero slope -> warping not applied (affine.c:130-134)
+    assert Warp("affine", "0 100", 16000).neutral
+    with pytest.raises(ValueError):
+        Warp("quadratic", "1", 16000)
+
+
+@slow
+@pytest.mark.parametrize("name,params", WARPS)
+def test_warped_mfcc_bit_parity(name, params):
+    """Full MFCC pipeline with VTLN active vs the C front end (en-us FE
+    config, goforward.raw)."""
+    from soundswallower_tpu.fe.frontend import Frontend
+
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", np.int16).astype(np.float32)
+    fe = Frontend(warp_type=WARP_TYPE[name], warp_params=params,
+                  remove_noise=True, lower_filt_freq=130,
+                  upper_filt_freq=3700, num_filters=20, lifter_val=22,
+                  transform="dct")
+    nfr = fe.n_frames(len(raw))
+    cep = np.asarray(fe.mfcc(raw, len(raw), nfr))[:nfr]
+    gold = np.fromfile(os.path.join(GOLDEN, "warp", f"mfcc_{name}.f32"),
+                       np.float32).reshape(-1, 13)
+    assert np.array_equal(cep, gold)
