@@ -95,3 +95,34 @@ def test_ms_senscr_active_subset(ms_en):
     mask = np.ones(am.n_sen, bool)
     mask[sens] = False
     assert (out[mask] == 0).all()
+
+
+def test_tpu_score_frames_parity(en_us):
+    """The batched TPU scorer (senscore_jax.score_frames) vs the C golden
+    compallsen scores.  The fast path intentionally drops eval_cb's
+    dynamic-threshold early termination and cross-frame top-N seeding
+    (ptm_mgau.c:181-209, 2-frame history ring), which changes a handful
+    of top-4 sets; everything else is exact, so the agreement must stay
+    above 99.9%."""
+    import jax.numpy as jnp
+
+    from soundswallower_tpu.ops.senscore_jax import (
+        ScorerTables, score_frames, ungroup)
+
+    am, _ = en_us
+    t = ScorerTables.from_am(am)
+    # group-split invariants: every senone has a unique slot, each
+    # group's slots come from one codebook
+    assert len(np.unique(t.sen_remap)) == am.n_sen
+    G, M = t.valid_g.shape
+    assert M == 128
+    cb_of = np.asarray(t.cb_of)
+    sen2cb = np.asarray(am.sen2cb)
+    assert (cb_of[t.sen_remap // M] == sen2cb).all()
+
+    feat = golden("goforward-en", "feat.f32", np.float32, (-1, 3, 13))
+    gold = golden("goforward-en", "senscr.i16", np.int16, (-1, am.n_sen))
+    got = ungroup(t, np.asarray(score_frames(t, jnp.asarray(feat), "fold")))
+    got = got[: len(gold)]
+    frac = (got == gold).mean()
+    assert frac > 0.999, f"TPU scorer agreement dropped to {frac}"
