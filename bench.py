@@ -30,7 +30,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     dist_mode = os.environ.get("BENCH_DIST", "fold")
-    os.environ.setdefault("SST_BATCH_CHUNK", "64")
+    os.environ.setdefault("SST_BATCH_CHUNK", "16")
 
     raw = np.fromfile("/root/reference/tests/data/goforward.raw", dtype=np.int16)
     text = "go forward ten meters"

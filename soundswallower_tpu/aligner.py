@@ -33,7 +33,8 @@ from .fe.feat import feats_full_utt
 from .fe.frontend import Frontend
 from .logmath import LogMath
 from .ops.align_graph import AlignGraph, build_chain_graph
-from .ops.align_jax import WORST_SCORE, align_viterbi, backtrace
+from .ops.align_jax import (WORST_SCORE, align_viterbi, backtrace,
+                            build_pred_table)
 from .ops.senscore_jax import ScorerTables, score_frames
 
 
@@ -109,31 +110,31 @@ class TpuAligner:
         cep = self.fe.mfcc(jnp.asarray(audio.astype(np.float32)), n, Tpad)
         feats = feats_full_utt(cep, jnp.int32(T), self.config["cmn"])
         senscr = score_frames(self.tables, feats, dist_mode)
-        path, scores, final_sc = self._viterbi(g, senscr, jnp.int32(T))
-        return self._extract(g, np.asarray(path), np.asarray(scores), T,
-                             int(final_sc))
+        path, final_sc = self._viterbi(g, senscr, jnp.int32(T))
+        return self._extract(g, np.asarray(path), T, int(final_sc))
 
     def _viterbi(self, g: AlignGraph, senscr, T: int):
         entry = np.where(g.is_entry, g.entry_pen, WORST_SCORE).astype(np.int32)
         # senone ids remapped into the scorer's codebook-grouped layout
         senid_g = self.tables.sen_remap[g.senid].astype(np.int32)
+        pi, pp, pk = build_pred_table(g.edge_src, g.edge_dst, g.edge_pen,
+                                      len(g.senid))
         tok_id, tok_score, out_score, out_hist = align_viterbi(
             senscr, jnp.asarray(senid_g), self.tmat_i32[jnp.asarray(g.tmatid)],
-            jnp.asarray(g.edge_src), jnp.asarray(g.edge_dst),
-            jnp.asarray(g.edge_pen),
+            jnp.asarray(pi), jnp.asarray(pp), jnp.asarray(pk),
             jnp.asarray(g.astart), jnp.asarray(g.aend),
-            T, jnp.asarray(entry))
+            T, jnp.asarray(entry), False)
         fin = jnp.asarray(g.final_nodes)
         fsc = out_score[fin]
         best = jnp.argmax(fsc)
         final_node = fin[best]
         final_state = out_hist[final_node]
         final_score = out_score[final_node]
-        path, scores = backtrace(tok_id, tok_score, final_state, final_score,
-                                 jnp.int32(T))
-        return path, scores, final_score
+        path, _ = backtrace(tok_id, None, final_state, final_score,
+                            jnp.int32(T))
+        return path, final_score
 
-    def _extract(self, g: AlignGraph, path, scores, T: int,
+    def _extract(self, g: AlignGraph, path, T: int,
                  final_score: int) -> list[WordSeg]:
         """Decoded state path -> word/phone segments.
 
@@ -207,31 +208,27 @@ class TpuAligner:
         buf = np.zeros((len(audios), N), np.int16)
         for i, a in enumerate(audios):
             buf[i, : len(a)] = a
-        # Chunk the batch so per-chunk intermediates stay within HBM;
-        # chunks still saturate the chip for these shapes.  Upload once,
-        # dispatch every chunk asynchronously, and fetch all results in a
-        # single round-trip: on a remote-tunnel TPU the per-transfer
-        # latency (~30 ms) otherwise dominates the ~1 ms of compute.
+        # Chunk the batch and upload PER CHUNK: device_put is async, so
+        # chunk i+1's host->device transfer rides along chunk i's compute
+        # (on a remote-tunnel TPU the upload alone is ~40 MB/s and would
+        # otherwise serialize ahead of all compute).  Dispatches are
+        # async too; all results come back in one d2h wave at the end.
         B = len(audios)
-        chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "64")))
-        buf_d = jax.device_put(buf)
-        ns_d = jax.device_put(ns)
-        Ts_d = jax.device_put(Ts)
+        chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "16")))
         outs = []
         for i0 in range(0, B, chunk):
-            out = self._batch_jit(
-                g, buf_d[i0:i0 + chunk], ns_d[i0:i0 + chunk],
-                Ts_d[i0:i0 + chunk], Tmax, dist_mode)
+            buf_d = jax.device_put(buf[i0:i0 + chunk])
+            ns_d = jax.device_put(ns[i0:i0 + chunk])
+            Ts_d = jax.device_put(Ts[i0:i0 + chunk])
+            out = self._batch_jit(g, buf_d, ns_d, Ts_d, Tmax, dist_mode)
             for x in out:  # overlap d2h with the next chunk's compute
                 x.copy_to_host_async()
             outs.append(out)
         res = jax.device_get(outs)
         paths = np.concatenate([r[0] for r in res])
-        scoress = np.concatenate([r[1] for r in res])
-        final_sc = np.concatenate([r[2] for r in res])
+        final_sc = np.concatenate([r[1] for r in res])
         return [
-            self._extract(g, paths[i], scoress[i], int(Ts[i]),
-                          int(final_sc[i]))
+            self._extract(g, paths[i], int(Ts[i]), int(final_sc[i]))
             for i in range(len(audios))
         ]
 
@@ -241,8 +238,9 @@ class TpuAligner:
             np.where(g.is_entry, g.entry_pen, WORST_SCORE).astype(np.int32))
         senid = jnp.asarray(self.tables.sen_remap[g.senid].astype(np.int32))
         tp = self.tmat_i32[jnp.asarray(g.tmatid)]
-        es, ed = jnp.asarray(g.edge_src), jnp.asarray(g.edge_dst)
-        ep = jnp.asarray(g.edge_pen)
+        pi, pp, pk = build_pred_table(g.edge_src, g.edge_dst, g.edge_pen,
+                                      len(g.senid))
+        pi, pp, pk = jnp.asarray(pi), jnp.asarray(pp), jnp.asarray(pk)
         ast, aen = jnp.asarray(g.astart), jnp.asarray(g.aend)
         fin = jnp.asarray(g.final_nodes)
 
@@ -251,14 +249,14 @@ class TpuAligner:
             return feats_full_utt(cep, T, self.config["cmn"])
 
         def vit_one(senscr, T):
-            tok_id, tok_score, out_score, out_hist = align_viterbi(
-                senscr, senid, tp, es, ed, ep, ast, aen, T, entry)
+            tok_id, _, out_score, out_hist = align_viterbi(
+                senscr, senid, tp, pi, pp, pk, ast, aen, T, entry, False)
             fsc = out_score[fin]
             best = jnp.argmax(fsc)
             final_node = fin[best]
-            path, sc = backtrace(tok_id, tok_score, out_hist[final_node],
-                                 out_score[final_node], T)
-            return path, sc, out_score[final_node]
+            path, _ = backtrace(tok_id, None, out_hist[final_node],
+                                out_score[final_node], T)
+            return path, out_score[final_node]
 
         # Three separately-jitted stages: one fused mega-graph (or a
         # vmapped scorer) sends this environment's AOT compiler into

@@ -109,31 +109,72 @@ def _eval_3st(score, hist, out_score, out_hist, senscr, tp, active):
     return score, hist, out_score, out_hist, best
 
 
-@partial(jax.jit, static_argnums=())
-def align_viterbi(senscr, senid, tp, edge_src, edge_dst, edge_pen,
-                  astart, aend, n_frames, entry_score=None):
+def build_pred_table(edge_src, edge_dst, edge_pen, n_nodes: int):
+    """Edge list -> dense padded predecessor table.
+
+    Returns (pred_idx [P, K] int32, pred_pen [P, K] int32, pred_ok
+    [P, K] bool) with K = max in-degree; empty slots point at node 0
+    with pred_ok False.  Slots are filled in edge order, so a
+    first-max-wins argmax over slots reproduces the C edge-iteration
+    tie-break (phone_transition, state_align_search.c:108-133).
+
+    This dense form replaces a segment-max over the edge list: on TPU a
+    [P, K] gather + max is a single fused vector op per scan step,
+    where scatter-style segment ops and int64 (score, idx) packing are
+    emulated and dominate the step latency.
+    """
+    edge_src = np.asarray(edge_src)
+    edge_dst = np.asarray(edge_dst)
+    edge_pen = np.asarray(edge_pen)
+    counts = np.bincount(edge_dst, minlength=n_nodes)
+    K = max(1, int(counts.max()) if len(edge_dst) else 1)
+    pred_idx = np.zeros((n_nodes, K), np.int32)
+    pred_pen = np.zeros((n_nodes, K), np.int32)
+    pred_ok = np.zeros((n_nodes, K), bool)
+    slot = np.zeros(n_nodes, np.int64)
+    for s, d, p in zip(edge_src, edge_dst, edge_pen):
+        k = slot[d]
+        pred_idx[d, k] = s
+        pred_pen[d, k] = p
+        pred_ok[d, k] = True
+        slot[d] += 1
+    return pred_idx, pred_pen, pred_ok
+
+
+@partial(jax.jit, static_argnums=(10,))
+def align_viterbi(senscr, senid, tp, pred_idx, pred_pen, pred_ok,
+                  astart, aend, n_frames, entry_score=None,
+                  with_scores: bool = True):
     """Run the masked Viterbi DP over a phone graph.
 
     senscr [T, n_sen] int16/32 senone scores (0=best per frame)
     senid [P, 3] int32, tp [P, 3, 4] int32
-    edge_src/edge_dst/edge_pen [E] int32: cross-phone transitions sorted
-      by edge_dst (penalties <= 0)
+    pred_idx/pred_pen/pred_ok [P, K]: padded predecessor table from
+      build_pred_table (penalties <= 0)
     astart/aend [P] int32 active frame windows
     n_frames: int32 actual frame count (T may be padded)
+    with_scores: also emit the per-frame token scores (needed only when
+      the caller reports per-segment scores; the throughput path skips
+      them, halving the token-stack memory traffic)
 
-    Returns (tok_id [T, P*3] int32, tok_score [T, P*3] int32,
-             final_out_score [P] int32, final_out_hist [P] int32).
+    Returns (tok_id [T, P*3] int16/int32, tok_score [T, P*3] int32 or
+             None, final_out_score [P] int32, final_out_hist [P] int32).
+    Token ids are int16 when P*3 fits (saves d2h + HBM bytes).
     """
     T = senscr.shape[0]
     P = senid.shape[0]
-    E = edge_src.shape[0]
     i32 = jnp.int32
+    tok_dtype = jnp.int16 if P * 3 < 32767 else jnp.int32
     worst = i32(WORST_SCORE)
     sidx = (jnp.arange(P)[:, None] * 3 + jnp.arange(3)[None, :]).astype(i32)
-    eidx = jnp.arange(E, dtype=jnp.int64)
+    # Pre-gather per-frame per-state senone scores once, outside the
+    # scan: one big [T, P, 3] gather beats a per-step dynamic-slice +
+    # gather chain inside the loop.
+    sen_all = senscr.astype(i32)[:, senid]  # [T, P, 3]
 
-    def step(carry, t):
+    def step(carry, xs):
         score, hist, out_score, out_hist, best_prev = carry
+        t, sen = xs
         valid_frame = t < n_frames
         active = (t >= astart) & (t <= aend) & valid_frame
 
@@ -141,29 +182,23 @@ def align_viterbi(senscr, senid, tp, edge_src, edge_dst, edge_pen,
         renorm = (best_prev - 0x300000) < worst
         score = jnp.where(renorm & (score > worst), score - best_prev, score)
 
-        frame_senscr = senscr[t].astype(i32)
-        sen = frame_senscr[senid]  # [P,3]
         score, hist, out_score, out_hist, bestv = _eval_3st(
             score, hist, out_score, out_hist, sen, tp, active)
         best = jnp.max(jnp.where(active, bestv, worst))
 
         # phone transitions (phone_transition, state_align_search.c:108-133):
         # a phone enters from a predecessor when the predecessor remains
-        # active into the next frame (survived its window).  Max over the
-        # edge list via segment-max of (value, edge) packed into int64.
+        # active into the next frame (survived its window).  Dense
+        # [P, K] predecessor gather + first-max-wins argmax.
         nf = t + 1
         active_next = active & (nf <= aend)
-        src_act = active_next[edge_src]
-        vals = jnp.where(src_act, out_score[edge_src] + edge_pen, worst)
-        packed = (vals.astype(jnp.int64) << 20) + eidx
-        packed = jnp.where(src_act, packed, jnp.int64(-(1 << 62)))
-        seg = jax.ops.segment_max(packed, edge_dst, num_segments=P,
-                                  indices_are_sorted=True)
-        has_edge = seg > jnp.int64(-(1 << 61))
-        best_e = jnp.minimum(jnp.mod(seg, 1 << 20).astype(i32), E - 1)
-        ent_score = jnp.where(has_edge,
-                              ((seg - best_e) >> 20).astype(i32), worst)
-        ent_hist = jnp.where(has_edge, out_hist[edge_src[best_e]], -1)
+        src_ok = pred_ok & active_next[pred_idx]
+        vals = jnp.where(src_ok, out_score[pred_idx] + pred_pen, worst)
+        best_k = jnp.argmax(vals, axis=1)
+        rows = jnp.arange(P)
+        ent_score = vals[rows, best_k]
+        has_edge = src_ok[rows, best_k]
+        ent_hist = jnp.where(has_edge, out_hist[pred_idx[rows, best_k]], -1)
         can_enter = has_edge & (nf >= astart) & (nf <= aend)
         # C rule: enter if target was inactive, or entering score better
         was_active = active
@@ -176,8 +211,12 @@ def align_viterbi(senscr, senid, tp, edge_src, edge_dst, edge_pen,
         # C records phones with hmm_frame >= frame_idx: active this frame
         # OR freshly entered for the next frame.
         recorded = active | do_enter
-        tok_id = jnp.where(recorded[:, None], hist, -1).reshape(P * 3)
-        tok_score = jnp.where(recorded[:, None], score, -1).reshape(P * 3)
+        tok_id = jnp.where(recorded[:, None], hist, -1) \
+            .astype(tok_dtype).reshape(P * 3)
+        if with_scores:
+            tok_score = jnp.where(recorded[:, None], score, -1).reshape(P * 3)
+        else:
+            tok_score = None
         hist = jnp.where(recorded[:, None], sidx, hist)
 
         return (score, hist, out_score, out_hist, best), (tok_id, tok_score)
@@ -194,7 +233,8 @@ def align_viterbi(senscr, senid, tp, edge_src, edge_dst, edge_pen,
     outh0 = jnp.full((P,), -1, dtype=i32)
     carry0 = (score0, hist0, out0, outh0, i32(0))
     (score, hist, out_score, out_hist, _), (tok_id, tok_score) = \
-        jax.lax.scan(step, carry0, jnp.arange(T, dtype=i32))
+        jax.lax.scan(step, carry0, (jnp.arange(T, dtype=i32), sen_all),
+                     unroll=4)
     return tok_id, tok_score, out_score, out_hist
 
 
@@ -203,25 +243,31 @@ def backtrace(tok_id, tok_score, final_state, final_score, n_frames):
     """Device backtrace: walk the token stack backwards.
 
     Returns (path [T] int32 state ids active at each frame,
-             path_score [T] int32).  Frames >= n_frames hold -1.
+             path_score [T] int32, or None if tok_score is None).
+    Frames >= n_frames hold -1.
     Mirrors state_align_search_finish's walk (state_align_search.c:226-255):
     the state at frame t is determined scanning from the last frame's
     winner backwards through tok_id.
     """
     T = tok_id.shape[0]
+    with_scores = tok_score is not None
 
     def step(carry, t):
         cur_id, cur_score = carry
         # t runs T-1 .. 0; the "current" state covers frame t+1; token at
         # frame t points to the state covering frame t.
         in_range = t < n_frames - 1
-        nid = jnp.where(in_range, tok_id[t, cur_id], cur_id)
-        nscore = jnp.where(in_range, tok_score[t, cur_id], cur_score)
+        nid = jnp.where(in_range, tok_id[t, cur_id].astype(jnp.int32),
+                        cur_id)
         out = jnp.where(t < n_frames, cur_id, -1)
-        outs = jnp.where(t < n_frames, cur_score, -1)
+        if with_scores:
+            nscore = jnp.where(in_range, tok_score[t, cur_id], cur_score)
+            outs = jnp.where(t < n_frames, cur_score, -1)
+        else:
+            nscore, outs = None, None
         return (nid, nscore), (out, outs)
 
     (first_id, _), (path_rev, score_rev) = jax.lax.scan(
-        step, (final_state, final_score),
-        jnp.arange(T - 1, -1, -1, dtype=jnp.int32))
-    return path_rev[::-1], score_rev[::-1]
+        step, (final_state, final_score if with_scores else None),
+        jnp.arange(T - 1, -1, -1, dtype=jnp.int32), unroll=8)
+    return path_rev[::-1], (score_rev[::-1] if with_scores else None)

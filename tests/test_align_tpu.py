@@ -51,9 +51,8 @@ def test_align_viterbi_matches_reference_goforward(aligner):
     senscr = _grouped_senscr(aligner, "goforward-en")
     T = len(senscr)
     g = aligner.graph_for_text("go forward ten meters")
-    path, scores, final_sc = aligner._viterbi(g, jnp.asarray(senscr), T)
-    segs = aligner._extract(g, np.asarray(path), np.asarray(scores), T,
-                            int(final_sc))
+    path, final_sc = aligner._viterbi(g, jnp.asarray(senscr), T)
+    segs = aligner._extract(g, np.asarray(path), T, int(final_sc))
     got = [(s.word, s.start, s.start + s.duration - 1) for s in segs]
     # reference two-pass boundaries (note: the reference used active-set
     # scoring; compallsen scores shift normalization per frame by a
@@ -65,9 +64,8 @@ def test_align_phone_level_contiguity(aligner):
     senscr = _grouped_senscr(aligner, "goforward-en")
     T = len(senscr)
     g = aligner.graph_for_text("go forward ten meters")
-    path, scores, final_sc = aligner._viterbi(g, jnp.asarray(senscr), T)
-    segs = aligner._extract(g, np.asarray(path), np.asarray(scores), T,
-                            int(final_sc))
+    path, final_sc = aligner._viterbi(g, jnp.asarray(senscr), T)
+    segs = aligner._extract(g, np.asarray(path), T, int(final_sc))
     # invariants from test_word_align.c: words contiguous, phones nest
     pos = 0
     for s in segs:
