@@ -251,10 +251,16 @@ class Decoder:
         if isinstance(audio, (bytes, bytearray, memoryview)):
             audio = np.frombuffer(audio, dtype=np.int16)
         audio = np.asarray(audio)
+        rng = getattr(self, "_dither_rng", None)
         if audio.dtype == np.int16:
+            if rng is not None:
+                audio = rng.dither_int16(audio)
             sig = audio.astype(np.float32)
         elif audio.dtype in (np.float32, np.float64):
-            sig = (audio.astype(np.float32) * np.float32(32768.0))
+            if rng is not None:
+                sig = rng.dither_float32(audio, 32768.0)
+            else:
+                sig = (audio.astype(np.float32) * np.float32(32768.0))
         else:
             raise TypeError(f"Unsupported audio dtype {audio.dtype}")
         if not full_utt:
@@ -674,6 +680,15 @@ class Decoder:
             remove_noise=c.get_bool("remove_noise"),
             remove_dc=c.get_bool("remove_dc"),
         )
+        # fe_init_dither (fe_interface.c:283-284,345-349): seeded once at
+        # FE construction; one rand31 draw per incoming sample in stream
+        # order (fe_read_frame*/fe_shift_frame*, fe_sigproc.c:330-440).
+        if c.get_bool("dither"):
+            from .genrand import GenRand
+
+            self._dither_rng = GenRand(c.get_int("seed"))
+        else:
+            self._dither_rng = None
 
     # -- CMN state (decoder.c:488-516) -------------------------------------
 

@@ -1,0 +1,92 @@
+"""YIN pitch estimator parity vs the C reference (src/yin.c).
+
+Goldens in tests/golden/yin/ were produced by tools/oracle/yin_oracle.c
+running the reference yin over goforward.raw (frame 400, shift 160,
+threshold 0.1, range 0.2, smooth 2 / 0).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+GOLD = os.path.join(os.path.dirname(__file__), "golden", "yin")
+RAW = "/root/reference/tests/data/goforward.raw"
+
+FSIZE, FSHIFT, THR, RANGE, SMOOTH = 400, 160, 0.1, 0.2, 2
+
+
+def _read_gold(name):
+    with open(os.path.join(GOLD, name)) as fh:
+        return [tuple(int(x) for x in line.split()) for line in fh]
+
+
+def _run(smooth):
+    from soundswallower_tpu.yin import Yin
+
+    data = np.fromfile(RAW, dtype=np.int16)
+    pe = Yin(FSIZE, THR, RANGE, smooth)
+    pe.start()
+    out = []
+    pos = 0
+    while pos + FSIZE <= len(data):
+        pe.write(data[pos:pos + FSIZE])
+        r = pe.read()
+        if r is not None:
+            out.append(r)
+        pos += FSHIFT
+    pe.end()
+    while True:
+        r = pe.read()
+        if r is None:
+            break
+        out.append(r)
+    return out
+
+
+def test_yin_smoothed_parity():
+    assert _run(SMOOTH) == _read_gold("yin_pitch.txt")
+
+
+def test_yin_raw_parity():
+    # smooth=0 exercises cmn_diff + thresholded_search alone; drop the
+    # end-of-utterance drain (smooth=0 read after end returns None).
+    got = _run(0)
+    gold = _read_gold("yin_raw.txt")
+    assert got == gold
+
+
+def test_cmn_diff_python_fallback_matches_native():
+    from soundswallower_tpu import yin as ymod
+
+    if ymod._lib() is None:
+        pytest.skip("native yin lib not built")
+    data = np.fromfile(RAW, dtype=np.int16)[: FSIZE]
+    native = ymod.cmn_diff_exact(data, FSIZE // 2)
+    py = ymod._cmn_diff_py(data, FSIZE // 2)
+    np.testing.assert_array_equal(native, py)
+
+
+def test_pitch_batch_float_agrees_roughly():
+    """The float TPU path should agree with the exact path on voiced
+    frames (period within 1 sample where bestdiff is confidently low)."""
+    import jax.numpy as jnp
+
+    from soundswallower_tpu.yin import cmn_diff_exact, pitch_batch
+
+    data = np.fromfile(RAW, dtype=np.int16)
+    frames = np.stack([data[p:p + FSIZE]
+                       for p in range(0, len(data) - FSIZE, FSHIFT)])
+    period, best = pitch_batch(jnp.asarray(frames), THR)
+    period = np.asarray(period)
+    best = np.asarray(best)
+    n_checked = 0
+    for i, fr in enumerate(frames):
+        d = cmn_diff_exact(fr, FSIZE // 2)
+        # replicate thresholded_search
+        under = np.where(d < THR * 32768)[0]
+        p_exact = int(under[0]) if len(under) else int(np.argmin(d))
+        if d[p_exact] < 0.05 * 32768 and p_exact > 10:
+            assert abs(int(period[i]) - p_exact) <= 2, (i, period[i], p_exact)
+            n_checked += 1
+    assert n_checked > 5  # goforward has voiced speech
