@@ -76,6 +76,14 @@ class TpuAligner:
         self.tables = ScorerTables.from_am(self.am)
         self.tmat_i32 = jnp.asarray(self.am.tmat.astype(np.int32))
         self._graph_cache: dict[str, AlignGraph] = {}
+        # Host-side native FE (bit-exact with self.fe): uploading 13-dim
+        # cepstra instead of raw audio cuts h2d bytes ~6.7x, which is the
+        # batch-throughput bound on tunnel-attached TPUs.  SST_FE=device
+        # forces the on-device FE path.
+        self.native_fe = None
+        if os.environ.get("SST_FE", "host") != "device":
+            from .fe.native_fe import NativeFrontend
+            self.native_fe = NativeFrontend.load(self.fe)
 
     # -- graph -------------------------------------------------------------
 
@@ -202,7 +210,7 @@ class TpuAligner:
         ns = np.array([len(a) for a in audios])
         Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
         N = int(ns.max())
-        Tmax = max(128, -(-int(Ts.max()) // 128) * 128)
+        Tmax = max(64, -(-int(Ts.max()) // 64) * 64)
         # Ship int16 over the wire (the tunnel's h2d bandwidth is the
         # single largest cost at these shapes); cast on device.
         buf = np.zeros((len(audios), N), np.int16)
@@ -213,14 +221,23 @@ class TpuAligner:
         # (on a remote-tunnel TPU the upload alone is ~40 MB/s and would
         # otherwise serialize ahead of all compute).  Dispatches are
         # async too; all results come back in one d2h wave at the end.
+        # With the native host FE, each chunk uploads [chunk, Tmax, 13]
+        # f32 cepstra instead of raw audio, and chunk i+1's host FE runs
+        # while chunk i computes on device.
         B = len(audios)
         chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "16")))
         outs = []
         for i0 in range(0, B, chunk):
-            buf_d = jax.device_put(buf[i0:i0 + chunk])
-            ns_d = jax.device_put(ns[i0:i0 + chunk])
             Ts_d = jax.device_put(Ts[i0:i0 + chunk])
-            out = self._batch_jit(g, buf_d, ns_d, Ts_d, Tmax, dist_mode)
+            if self.native_fe is not None:
+                cep = self.native_fe.process_batch(
+                    buf[i0:i0 + chunk], ns[i0:i0 + chunk], Tmax)
+                out = self._batch_jit_cep(g, jax.device_put(cep), Ts_d,
+                                          Tmax, dist_mode)
+            else:
+                buf_d = jax.device_put(buf[i0:i0 + chunk])
+                ns_d = jax.device_put(ns[i0:i0 + chunk])
+                out = self._batch_jit(g, buf_d, ns_d, Ts_d, Tmax, dist_mode)
             for x in out:  # overlap d2h with the next chunk's compute
                 x.copy_to_host_async()
             outs.append(out)
