@@ -251,6 +251,49 @@ class TpuAligner:
 
     def _batch_jit(self, g: AlignGraph, buf, ns, Ts, Tmax: int,
                    dist_mode: str):
+        """Batch path with on-device FE: raw int16 audio [B, N] in."""
+        def fe_one(audio, n, T):
+            cep = self.fe.mfcc(audio.astype(jnp.float32), n, Tmax)
+            return feats_full_utt(cep, T, self.config["cmn"])
+
+        # Three separately-jitted stages: one fused mega-graph (or a
+        # vmapped scorer) sends this environment's AOT compiler into
+        # multi-minute compiles; staged dispatch reuses each stage's
+        # cached executable and loses nothing at these sizes.
+        if not hasattr(self, "_fe_batch_jit"):
+            self._fe_batch_jit = {}
+        key = (buf.shape, Tmax)
+        fe_j = self._fe_batch_jit.get(key)
+        if fe_j is None:
+            fe_j = self._fe_batch_jit[key] = jax.jit(jax.vmap(fe_one))
+        feats = fe_j(buf, ns, Ts)                       # [B,T,F,L]
+        return self._score_and_vit(g, feats, Ts, Tmax, dist_mode)
+
+    def _batch_jit_cep(self, g: AlignGraph, cep, Ts, Tmax: int,
+                       dist_mode: str):
+        """Batch path when cepstra came from the host FE: [B, Tmax, ncep]
+        float32 in (bit-exact with the device FE; see fe/native_fe.py),
+        vmapped dynamic-feature computation on device, then the shared
+        scoring + Viterbi stages."""
+        cmn = self.config["cmn"]
+
+        def feat_one(c, T):
+            return feats_full_utt(c, T, cmn)
+
+        if not hasattr(self, "_feat_batch_jit"):
+            self._feat_batch_jit = {}
+        key = (cep.shape, cmn)
+        fj = self._feat_batch_jit.get(key)
+        if fj is None:
+            fj = self._feat_batch_jit[key] = jax.jit(jax.vmap(feat_one))
+        feats = fj(cep, Ts)                             # [B,T,F,L]
+        return self._score_and_vit(g, feats, Ts, Tmax, dist_mode)
+
+    def _score_and_vit(self, g: AlignGraph, feats, Ts, Tmax: int,
+                       dist_mode: str):
+        """Shared back half of the batch paths: dense senone scoring over
+        the folded [B*T] frame axis, then a vmapped graph Viterbi +
+        backtrace (jit cached per (graph, B, Tmax))."""
         entry = jnp.asarray(
             np.where(g.is_entry, g.entry_pen, WORST_SCORE).astype(np.int32))
         senid = jnp.asarray(self.tables.sen_remap[g.senid].astype(np.int32))
@@ -260,10 +303,6 @@ class TpuAligner:
         pi, pp, pk = jnp.asarray(pi), jnp.asarray(pp), jnp.asarray(pk)
         ast, aen = jnp.asarray(g.astart), jnp.asarray(g.aend)
         fin = jnp.asarray(g.final_nodes)
-
-        def fe_one(audio, n, T):
-            cep = self.fe.mfcc(audio.astype(jnp.float32), n, Tmax)
-            return feats_full_utt(cep, T, self.config["cmn"])
 
         def vit_one(senscr, T):
             tok_id, _, out_score, out_hist = align_viterbi(
@@ -275,23 +314,13 @@ class TpuAligner:
                                 out_score[final_node], T)
             return path, out_score[final_node]
 
-        # Three separately-jitted stages: one fused mega-graph (or a
-        # vmapped scorer) sends this environment's AOT compiler into
-        # multi-minute compiles; staged dispatch reuses each stage's
-        # cached executable and loses nothing at these sizes.
-        if not hasattr(self, "_fe_batch_jit"):
-            self._fe_batch_jit = {}
-            self._vit_batch_jit = {}
-        key = (buf.shape, Tmax)
-        fe_j = self._fe_batch_jit.get(key)
-        if fe_j is None:
-            fe_j = self._fe_batch_jit[key] = jax.jit(jax.vmap(fe_one))
-        feats = fe_j(buf, ns, Ts)                       # [B,T,F,L]
         B = feats.shape[0]
         # Scoring is frame-independent: fold the batch into the frame axis.
         flat = feats.reshape((-1,) + feats.shape[2:])
         senscr = score_frames(self.tables, flat, dist_mode)
         senscr = senscr.reshape(B, Tmax, -1)
+        if not hasattr(self, "_vit_batch_jit"):
+            self._vit_batch_jit = {}
         gkey = (id(g), B, Tmax)
         vit_j = self._vit_batch_jit.get(gkey)
         if vit_j is None:

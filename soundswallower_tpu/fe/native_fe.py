@@ -35,12 +35,9 @@ def _lib():
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "native", "libsst_fe.so")
-    try:
-        lib = ctypes.CDLL(path)
-    except OSError:
+    from ..utils.native_build import load_native
+    lib = load_native("libsst_fe.so")
+    if lib is None:
         return None
     c = ctypes
     lib.sst_fe_create.restype = c.c_void_p
@@ -109,6 +106,11 @@ class NativeFrontend:
     @classmethod
     def load(cls, fe) -> "NativeFrontend | None":
         if fe.transform not in _TRANSFORM_ID or fe.fft_size > 4096:
+            return None
+        if fe.remove_dc:
+            # remove_dc parity is not guaranteed (XLA may reorder the f64
+            # frame-mean reduction); fall back to the device FE so the
+            # single-utterance and batch paths always agree.
             return None
         lib = _lib()
         if lib is None:

@@ -222,13 +222,19 @@ def _sen_stage(tables: ScorerTables, topn_scores, topn_cw):
     cw_g = topn_cw[:, t.cb_of]                             # [T,G,F,N]
     s_g = s[:, t.cb_of]                                    # [T,G,F,N]
     F = t.mixw_g.shape[0]
-    mixw_bf = t.mixw_g.astype(jnp.bfloat16)                # [F,G,D,M]
+    # bf16 feeds the MXU on TPU; the CPU backend's dot kernel does not
+    # support bf16 x bf16 -> f32, so use f32 there.  Both are exact:
+    # the one-hot selects a single integer entry <= 255, representable
+    # in either type, and accumulation is f32.
+    mm_dtype = (jnp.bfloat16 if jax.default_backend() not in ("cpu",)
+                else jnp.float32)
+    mixw_bf = t.mixw_g.astype(mm_dtype)                    # [F,G,D,M]
     D = mixw_bf.shape[2]
     ascore = None
     for f in range(F):
         fden = None
         for j in range(t.max_topn):
-            oh = jax.nn.one_hot(cw_g[:, :, f, j], D, dtype=jnp.bfloat16)
+            oh = jax.nn.one_hot(cw_g[:, :, f, j], D, dtype=mm_dtype)
             mw = jnp.einsum("tgd,gdm->tgm", oh, mixw_bf[f],
                             preferred_element_type=jnp.float32)
             mw = mw.astype(jnp.int32)                      # [T,G,M]

@@ -19,12 +19,10 @@ def _lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    here = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    path = os.path.join(here, "native", "libsst_io.so")
-    if not os.path.exists(path):
+    from .native_build import load_native
+    lib = load_native("libsst_io.so")
+    if lib is None:
         return None
-    lib = ctypes.CDLL(path)
     lib.sst_audio_read.restype = ctypes.c_void_p
     lib.sst_audio_read.argtypes = [ctypes.c_char_p]
     lib.sst_audio_n_samples.restype = ctypes.c_int64

@@ -38,11 +38,9 @@ def _lib():
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "native", "libsst_yin.so")
-    try:
-        lib = ctypes.CDLL(path)
-    except OSError:
+    from .utils.native_build import load_native
+    lib = load_native("libsst_yin.so")
+    if lib is None:
         return None
     lib.sst_yin_init.restype = ctypes.c_void_p
     lib.sst_yin_init.argtypes = [ctypes.c_int, ctypes.c_float,

@@ -60,6 +60,28 @@ def test_align_viterbi_matches_reference_goforward(aligner):
     assert got == _ref_segs("goforward-en")
 
 
+def test_align_batch_matches_single(aligner):
+    """align_batch (the default, host-FE path when the native lib is
+    available) must produce exactly the segments of per-utterance
+    align(), including for padded shorter utterances (advisor r1: the
+    batch path went untested and shipped broken)."""
+    raw = np.fromfile("/root/reference/tests/data/goforward.raw", np.int16)
+    texts = ["go forward ten meters"] * 3
+    audios = [raw, raw[:20000], raw]
+    singles = [aligner.align(a, t) for a, t in zip(audios, texts)]
+    batch = aligner.align_batch(audios, texts)
+    for got, want in zip(batch, singles):
+        assert ([(s.word, s.start, s.duration) for s in got]
+                == [(s.word, s.start, s.duration) for s in want])
+    # mixed-transcript fallback path
+    mixed = aligner.align_batch([raw, raw], ["go forward ten meters",
+                                             "go forward"])
+    assert [s.word for s in mixed[0] if s.word != "<sil>"] == \
+        ["go", "forward", "ten", "meters"]
+    assert [s.word for s in mixed[1] if s.word != "<sil>"] == \
+        ["go", "forward"]
+
+
 def test_align_phone_level_contiguity(aligner):
     senscr = _grouped_senscr(aligner, "goforward-en")
     T = len(senscr)
