@@ -14,6 +14,9 @@ enabled later; the batch TPU pipeline lives in ops/ and parallel/).
 
 from __future__ import annotations
 
+import logging
+import time
+
 import numpy as np
 
 from .align import Alignment
@@ -21,7 +24,7 @@ from .am import AcousticModel
 from .config import Config
 from .dict2pid import Dict2Pid
 from .dictionary import Dictionary
-from .fe.feat import feats_full_utt_np
+from .fe.feat import FeatPipeline
 from .fe.frontend import Frontend
 from .fsg import FsgModel
 from .jsgf import Jsgf
@@ -29,6 +32,8 @@ from .logmath import LogMath
 from .ops.senscore import MsScorerNp, ScorerNp
 from .search_align import StateAlignSearch
 from .search_fsg import FsgSearch
+
+LOG = logging.getLogger("soundswallower_tpu")
 
 
 def senone_flags2list(active: set[int]) -> np.ndarray:
@@ -240,6 +245,9 @@ class Decoder:
         self.search.start()
         self.align_search = None
         self._live = None
+        # ptmr_start on the perf timers (decoder.c:905-907)
+        self._utt_wall0 = time.perf_counter()
+        self._utt_cpu0 = time.process_time()
 
     def process_raw(self, audio, no_search=False, full_utt=True):
         """decoder_process_int16 (decoder.c:959-1031): full-utterance or
@@ -271,9 +279,10 @@ class Decoder:
 
             cep, mean = cmn_batch_np(cep)
             self._last_batch_mean = mean
-            feats = feats_full_utt_np(cep, cmn_mode="none")
+            feats = self.featpipe.compute_full(cep, cmn_mode="none")
         else:
-            feats = feats_full_utt_np(cep, cmn_mode=self.config["cmn"])
+            feats = self.featpipe.compute_full(
+                cep, cmn_mode=self.config["cmn"])
         self._feats = feats
         if not no_search:
             self._run_search()
@@ -339,29 +348,22 @@ class Decoder:
         norm = self._cmn_live.process(cep)
         if not st["head_done"] and len(norm) > 0:
             # begin-of-utterance replication (feat_s2mfc2feat_live,
-            # feat.c:1057-1067)
-            for _ in range(3):
+            # feat.c:1057-1067): window_size copies of the first frame
+            for _ in range(self.featpipe.window_size):
                 st["cepq"].append(norm[0].copy())
             st["head_done"] = True
         for row in norm:
             st["cepq"].append(row)
 
     def _live_compute_feats(self, st) -> int:
-        from .fe.feat import compute_feat_1s_c_d_dd
-        import jax.numpy as jnp
-
-        navail = len(st["cepq"]) - 6
+        w = self.featpipe.window_size
+        navail = len(st["cepq"]) - 2 * w
         nnew = navail - st["nfeat_done"]
         if nnew <= 0:
             return 0
         for i in range(st["nfeat_done"], navail):
-            win = np.stack(st["cepq"][i:i + 7])
-            c = win[3]
-            d = (win[5] - win[1]).astype(np.float32)
-            d1 = (win[6] - win[2]).astype(np.float32)
-            d2 = (win[4] - win[0]).astype(np.float32)
-            dd = (d1 - d2).astype(np.float32)
-            st["feats"].append(np.stack([c, d, dd]))
+            win = np.stack(st["cepq"][i:i + 2 * w + 1])
+            st["feats"].append(self.featpipe.compute_window(win))
         st["nfeat_done"] = navail
         self._feats = np.stack(st["feats"])
         if not st["no_search"]:
@@ -397,6 +399,8 @@ class Decoder:
         sens = senone_flags2list(self._active_vec)
         mgau_active = np.zeros(self.am.n_mgau, bool)
         mgau_active[self.am.sen2cb[sens]] = True
+        if hasattr(search, "n_sen_eval"):
+            search.n_sen_eval += len(sens)  # fsg_search.c:831 counter
         return self.scorer.frame_eval(self._feats[frame], frame,
                                       mgau_active, sens)
 
@@ -412,6 +416,43 @@ class Decoder:
         if self._live is not None:
             self._end_live()
         self.search.finish()
+        # Perf accounting (decoder.c:1044-1061 + fsg_search_finish's xRT
+        # report, fsg_search.c:828-848): per-utterance and lifetime
+        # speech/CPU/wall seconds, plus search-effort counters.
+        wall = time.perf_counter() - getattr(self, "_utt_wall0",
+                                             time.perf_counter())
+        cpu = time.process_time() - getattr(self, "_utt_cpu0",
+                                            time.process_time())
+        frate = self.config.get_int("frate")
+        n_frames = len(self._feats) if self._feats is not None else 0
+        speech = n_frames / frate
+        self._utt_speech, self._utt_cpu, self._utt_wall = speech, cpu, wall
+        self._all_speech = getattr(self, "_all_speech", 0.0) + speech
+        self._all_cpu = getattr(self, "_all_cpu", 0.0) + cpu
+        self._all_wall = getattr(self, "_all_wall", 0.0) + wall
+        if speech > 0:
+            n_hmm = getattr(self.search, "n_hmm_eval", 0)
+            n_sen = getattr(self.search, "n_sen_eval", 0)
+            LOG.info(
+                "%d frames, %d HMMs (%d/fr), %d senones (%d/fr)",
+                n_frames, n_hmm, n_hmm // max(1, n_frames),
+                n_sen, n_sen // max(1, n_frames))
+            LOG.info("%.2f wall %.2f xRT, %.2f CPU %.2f xRT",
+                     wall, wall / speech, cpu, cpu / speech)
+
+    def utt_time(self):
+        """decoder_utt_time (decoder.c:1252-1262): (speech, cpu, wall)
+        seconds for the most recent utterance."""
+        return (getattr(self, "_utt_speech", 0.0),
+                getattr(self, "_utt_cpu", 0.0),
+                getattr(self, "_utt_wall", 0.0))
+
+    def all_time(self):
+        """decoder_all_time (decoder.c:1264-1274): lifetime
+        (speech, cpu, wall) seconds."""
+        return (getattr(self, "_all_speech", 0.0),
+                getattr(self, "_all_cpu", 0.0),
+                getattr(self, "_all_wall", 0.0))
 
     def _end_live(self):
         """Flush the live pipeline: fe_end tail frame, end-of-utterance
@@ -427,7 +468,7 @@ class Decoder:
             self._live_push_cep(st, cep)
         if st["cepq"]:
             last = st["cepq"][-1]
-            for _ in range(3):
+            for _ in range(self.featpipe.window_size):
                 st["cepq"].append(last.copy())
         self._live_compute_feats(st)
         self._cmn_live.update()
@@ -680,6 +721,18 @@ class Decoder:
             remove_noise=c.get_bool("remove_noise"),
             remove_dc=c.get_bool("remove_dc"),
         )
+        # feat_init (feat.c:732-927): feature-type registry + LDA +
+        # subvector specification
+        lda = None
+        if c["lda"]:
+            from .s3file import read_lda
+
+            lda = read_lda(c["lda"])
+        self.featpipe = FeatPipeline(
+            c["feat"] or "1s_c_d_dd",
+            cepsize=c.get_int("ceplen") or 13,
+            lda=lda, ldadim=c.get_int("ldadim"),
+            svspec=c["svspec"])
         # fe_init_dither (fe_interface.c:283-284,345-349): seeded once at
         # FE construction; one rand31 draw per incoming sample in stream
         # order (fe_read_frame*/fe_shift_frame*, fe_sigproc.c:330-440).

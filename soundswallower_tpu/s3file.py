@@ -292,6 +292,38 @@ def write_mixw_float(path: str, pdf: np.ndarray):
         fh.write(np.asarray(pdf, np.float32).tobytes())
 
 
+def write_gauden_params(path: str, params: np.ndarray, veclen: list[int]):
+    """Write a means/variances file in the layout gauden_param_read
+    consumes (ms_gauden.c:106-204): counts, per-stream veclen, then
+    [mgau][feat][density][veclen[feat]] flattened float32."""
+    n_mgau, n_feat, n_density, maxlen = params.shape
+    assert len(veclen) == n_feat and max(veclen) <= maxlen
+    blk = sum(veclen)
+    with open(path, "wb") as fh:
+        _write_s3_header(fh, "1.0")
+        fh.write(np.array([n_mgau, n_feat, n_density], np.int32).tobytes())
+        fh.write(np.asarray(veclen, np.int32).tobytes())
+        fh.write(np.array([n_mgau * n_density * blk], np.int32).tobytes())
+        for m in range(n_mgau):
+            for f in range(n_feat):
+                fh.write(np.ascontiguousarray(
+                    params[m, f, :, :veclen[f]], np.float32).tobytes())
+
+
+def write_lda(path: str, lda: np.ndarray):
+    """Write an LDA/feature transform file (the format read_lda and the
+    reference's feat_read_lda consume; version 0.1, no checksum)."""
+    lda = np.asarray(lda, np.float32)
+    if lda.ndim == 2:
+        lda = lda[None]
+    n_lda, rows, cols = lda.shape
+    with open(path, "wb") as fh:
+        _write_s3_header(fh, "0.1")
+        fh.write(np.array([n_lda, rows, cols,
+                           n_lda * rows * cols], np.int32).tobytes())
+        fh.write(lda.tobytes())
+
+
 def read_lda(path: str):
     """Read an LDA/feature transform file (lda.c:60-123 read_lda).
 

@@ -75,6 +75,28 @@ def ms_en(tmp_path_factory):
     return AcousticModel.load(cfg), cfg
 
 
+@pytest.fixture(scope="session")
+def semi_en(tmp_path_factory):
+    """en-us forced into the semi-continuous backend via a synthesized
+    single-codebook means/variances pair (see tools/make_semi_model.py;
+    goldens in tests/golden/semi-en were produced by the C oracle against
+    the same synthesized files — acmod's fallback chain selects
+    s2_semi_mgau when n_mgau == 1)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_semi_model import make_semi_model
+
+    from soundswallower_tpu.am import AcousticModel
+    from soundswallower_tpu.config import Config
+
+    outdir = str(tmp_path_factory.mktemp("semi-model"))
+    mean, var = make_semi_model(os.path.join(MODELDIR, "en-us"), outdir)
+    cfg = Config(hmm=os.path.join(MODELDIR, "en-us"), mean=mean, var=var)
+    cfg.expand()
+    return AcousticModel.load(cfg), cfg
+
+
 def golden(name: str, fname: str, dtype, shape=None):
     arr = np.fromfile(os.path.join(GOLDEN, name, fname), dtype=dtype)
     if shape is not None:

@@ -73,6 +73,28 @@ def test_jsgf_grammar_decode():
 
 
 @slow
+def test_semi_backend_json_byte_parity(semi_en):
+    """Full two-pass decode in the semi-continuous backend, vs the C
+    oracle run with the same synthesized single-codebook means/variances
+    (s2_semi_mgau.c path end to end)."""
+    from soundswallower_tpu.decoder import Decoder
+
+    _, cfg = semi_en
+    d = Decoder(hmm="/root/reference/model/en-us",
+                mean=cfg["mean"], var=cfg["var"])
+    assert d.am.backend == "semi"
+    d.set_align_text("go forward ten meters")
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", dtype=np.int16)
+    d.start_utt()
+    d.process_raw(raw)
+    d.end_utt()
+    assert d.hyp.text == "go forward ten meters"
+    d.alignment()
+    js = d.result_json(0.0, 2)
+    assert js == open(f"{GOLDEN}/semi-en/result.json").read()
+
+
+@slow
 def test_ms_backend_json_byte_parity(ms_en):
     """Full two-pass decode in the fully-continuous (ms) backend, vs the
     C oracle run with the same synthesized senmgau/float-mixw model."""

@@ -97,6 +97,45 @@ def test_ms_senscr_active_subset(ms_en):
     assert (out[mask] == 0).all()
 
 
+def test_semi_senscr_bitexact(semi_en):
+    """Semi-continuous backend compallsen scores vs C oracle run with the
+    same synthesized single-codebook means/variances (s2_semi_mgau.c
+    frame_eval: eval_topn/eval_cb with int final check + mgau_norm +
+    get_scores_4b, no best-score subtraction)."""
+    am, _ = semi_en
+    assert am.backend == "semi"
+    feat = golden("semi-en", "feat.f32", np.float32, (-1, 3, 13))
+    gold = golden("semi-en", "senscr.i16", np.int16, (-1, am.n_sen))
+    sc = ScorerNp(am)
+    for t in range(len(feat)):
+        out = sc.frame_eval(feat[t], t)
+        assert (out == gold[t]).all(), f"frame {t} semi scores differ"
+
+
+def test_tpu_semi_score_frames_parity(semi_en):
+    """Batched TPU scorer in semi mode vs the C goldens: same agreement
+    standard as the PTM path (the fast path's exact top-4 replaces the
+    C 2-frame-seeded early-termination search)."""
+    import jax.numpy as jnp
+
+    from soundswallower_tpu.ops.senscore_jax import (
+        ScorerTables, score_frames, ungroup)
+
+    am, _ = semi_en
+    t = ScorerTables.from_am(am)
+    assert t.backend == "semi"
+    feat = golden("semi-en", "feat.f32", np.float32, (-1, 3, 13))
+    gold = golden("semi-en", "senscr.i16", np.int16, (-1, am.n_sen))
+    got = ungroup(t, np.asarray(score_frames(t, jnp.asarray(feat))))
+    # With ONE shared codebook a single top-4 set divergence (the dropped
+    # early-termination quirk) shifts every senone in that frame, so the
+    # right metric is frames bit-exact, not elements (goforward: 277/278;
+    # the off frame differs only via a 5th-best codeword swap).
+    frames_exact = (got == gold).all(axis=1).mean()
+    assert frames_exact >= 0.99, f"only {frames_exact:.4f} frames exact"
+    assert (got == gold).mean() > 0.99
+
+
 def test_tpu_score_frames_parity(en_us):
     """The batched TPU scorer (senscore_jax.score_frames) vs the C golden
     compallsen scores.  The fast path intentionally drops eval_cb's

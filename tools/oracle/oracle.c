@@ -223,10 +223,16 @@ int main(int argc, char *argv[]) {
         snprintf(path, sizeof(path), "%s/senscr.i16", outdir);
         sen_out = fopen(path, "wb");
         {
+            /* The topn state dump is PTM-specific (the cast below is
+             * invalid for the s2_semi/ms scorers, which have different
+             * struct layouts); senscr.i16 is backend-independent. */
             FILE *topn_out;
-            ptm_mgau_t *pm = (ptm_mgau_t *)d->acmod->mgau;
-            int n_mgau = pm->g->n_mgau, n_feat = pm->g->n_feat,
-                max_topn = pm->max_topn;
+            int is_ptm =
+                strcmp(ps_mgau_base(d->acmod->mgau)->vt->name, "ptm") == 0;
+            ptm_mgau_t *pm = is_ptm ? (ptm_mgau_t *)d->acmod->mgau : NULL;
+            int n_mgau = pm ? pm->g->n_mgau : 0,
+                n_feat = pm ? pm->g->n_feat : 0,
+                max_topn = pm ? pm->max_topn : 0;
             snprintf(path, sizeof(path), "%s/topn.i32", outdir);
             topn_out = fopen(path, "wb");
             nfr = 0;
@@ -236,14 +242,15 @@ int main(int argc, char *argv[]) {
                 int cb, f, k;
                 if (scr == NULL) break;
                 fwrite(scr, sizeof(int16), n_sen, sen_out);
-                for (cb = 0; cb < n_mgau; cb++)
-                    for (f = 0; f < n_feat; f++)
-                        for (k = 0; k < max_topn; k++) {
-                            int32 v[2];
-                            v[0] = pm->f->topn[cb][f][k].cw;
-                            v[1] = pm->f->topn[cb][f][k].score;
-                            fwrite(v, sizeof(int32), 2, topn_out);
-                        }
+                if (pm)
+                    for (cb = 0; cb < n_mgau; cb++)
+                        for (f = 0; f < n_feat; f++)
+                            for (k = 0; k < max_topn; k++) {
+                                int32 v[2];
+                                v[0] = pm->f->topn[cb][f][k].cw;
+                                v[1] = pm->f->topn[cb][f][k].score;
+                                fwrite(v, sizeof(int32), 2, topn_out);
+                            }
                 acmod_advance(d->acmod);
                 nfr++;
             }
