@@ -249,6 +249,60 @@ class TpuAligner:
             for i in range(len(audios))
         ]
 
+    def align_longform_batch(self, audios: list[np.ndarray],
+                             texts: list[str], mesh=None,
+                             dist_mode: str = "fold") -> list[list[WordSeg]]:
+        """Sequence-parallel alignment for long-form audio: the frame
+        axis is sharded over a ('seq',) device mesh, the Viterbi carry
+        rides an ICI ring, and token stacks stay sharded so maximum
+        audio length scales with device count (parallel/seqpipe.py).
+        Bit-identical to align()/align_batch on the same audio."""
+        from .parallel.seqpipe import align_longform, seq_mesh
+
+        if len(set(texts)) != 1:
+            raise ValueError("align_longform_batch needs one shared "
+                             "transcript (one graph) per call")
+        if mesh is None:
+            mesh = seq_mesh()
+        nseq = mesh.devices.size
+        g = self.graph_for_text(texts[0])
+        ns = np.array([len(a) for a in audios])
+        Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
+        N = int(ns.max())
+        gran = 64 * nseq
+        Tmax = max(gran, -(-int(Ts.max()) // gran) * gran)
+        buf = np.zeros((len(audios), N), np.int16)
+        for i, a in enumerate(audios):
+            buf[i, : len(a)] = a
+        # FE + features + scoring are frame-local: compute feats like the
+        # data-parallel path, then score with the frame axis sharded
+        if self.native_fe is not None:
+            cep = self.native_fe.process_batch(buf, ns, Tmax)
+            cep_d = jax.device_put(cep)
+        else:
+            cep_d = jax.vmap(
+                lambda a, n: self.fe.mfcc(a.astype(jnp.float32), n, Tmax)
+            )(jax.device_put(buf), jax.device_put(ns))
+        cmn = self.config["cmn"]
+        feats = jax.jit(jax.vmap(lambda c, T: feats_full_utt(c, T, cmn)))(
+            cep_d, jax.device_put(Ts))
+        B = feats.shape[0]
+        flat = feats.reshape((-1,) + feats.shape[2:])
+        senscr = np.asarray(score_frames(self.tables, flat, dist_mode))
+        senscr = senscr.reshape(B, Tmax, -1)
+
+        entry = np.where(g.is_entry, g.entry_pen, WORST_SCORE).astype(np.int32)
+        senid = self.tables.sen_remap[g.senid].astype(np.int32)
+        tp = np.asarray(self.am.tmat.astype(np.int32))[g.tmatid]
+        pi, pp, pk = build_pred_table(g.edge_src, g.edge_dst, g.edge_pen,
+                                      len(g.senid))
+        paths, scores = align_longform(
+            mesh, senscr, senid, tp, pi, pp, pk, g.astart, g.aend,
+            Ts.astype(np.int32), entry, g.final_nodes)
+        paths, scores = np.asarray(paths), np.asarray(scores)
+        return [self._extract(g, paths[i], int(Ts[i]), int(scores[i]))
+                for i in range(B)]
+
     def _batch_jit(self, g: AlignGraph, buf, ns, Ts, Tmax: int,
                    dist_mode: str):
         """Batch path with on-device FE: raw int16 audio [B, N] in."""

@@ -141,36 +141,16 @@ def build_pred_table(edge_src, edge_dst, edge_pen, n_nodes: int):
     return pred_idx, pred_pen, pred_ok
 
 
-@partial(jax.jit, static_argnums=(10,))
-def align_viterbi(senscr, senid, tp, pred_idx, pred_pen, pred_ok,
-                  astart, aend, n_frames, entry_score=None,
-                  with_scores: bool = True):
-    """Run the masked Viterbi DP over a phone graph.
-
-    senscr [T, n_sen] int16/32 senone scores (0=best per frame)
-    senid [P, 3] int32, tp [P, 3, 4] int32
-    pred_idx/pred_pen/pred_ok [P, K]: padded predecessor table from
-      build_pred_table (penalties <= 0)
-    astart/aend [P] int32 active frame windows
-    n_frames: int32 actual frame count (T may be padded)
-    with_scores: also emit the per-frame token scores (needed only when
-      the caller reports per-segment scores; the throughput path skips
-      them, halving the token-stack memory traffic)
-
-    Returns (tok_id [T, P*3] int16/int32, tok_score [T, P*3] int32 or
-             None, final_out_score [P] int32, final_out_hist [P] int32).
-    Token ids are int16 when P*3 fits (saves d2h + HBM bytes).
-    """
-    T = senscr.shape[0]
+def make_vit_step(senid, tp, pred_idx, pred_pen, pred_ok, astart, aend,
+                  n_frames, with_scores: bool, tok_dtype):
+    """Build the per-frame Viterbi step function (shared by the
+    single-device scan below and the sequence-parallel chunked scan in
+    parallel/seqpipe.py).  xs = (t, sen [P,3]); carry = (score [P,3],
+    hist [P,3], out_score [P], out_hist [P], best_prev)."""
     P = senid.shape[0]
     i32 = jnp.int32
-    tok_dtype = jnp.int16 if P * 3 < 32767 else jnp.int32
     worst = i32(WORST_SCORE)
     sidx = (jnp.arange(P)[:, None] * 3 + jnp.arange(3)[None, :]).astype(i32)
-    # Pre-gather per-frame per-state senone scores once, outside the
-    # scan: one big [T, P, 3] gather beats a per-step dynamic-slice +
-    # gather chain inside the loop.
-    sen_all = senscr.astype(i32)[:, senid]  # [T, P, 3]
 
     def step(carry, xs):
         score, hist, out_score, out_hist, best_prev = carry
@@ -221,6 +201,13 @@ def align_viterbi(senscr, senid, tp, pred_idx, pred_pen, pred_ok,
 
         return (score, hist, out_score, out_hist, best), (tok_id, tok_score)
 
+    return step
+
+
+def vit_carry0(P: int, entry_score=None):
+    """Initial Viterbi carry (score/hist/out/out_hist/best_prev)."""
+    i32 = jnp.int32
+    worst = i32(WORST_SCORE)
     score0 = jnp.full((P, 3), worst, dtype=i32)
     if entry_score is None:
         score0 = score0.at[0, 0].set(0)
@@ -231,7 +218,40 @@ def align_viterbi(senscr, senid, tp, pred_idx, pred_pen, pred_ok,
     hist0 = jnp.full((P, 3), -1, dtype=i32)
     out0 = jnp.full((P,), worst, dtype=i32)
     outh0 = jnp.full((P,), -1, dtype=i32)
-    carry0 = (score0, hist0, out0, outh0, i32(0))
+    return (score0, hist0, out0, outh0, i32(0))
+
+
+@partial(jax.jit, static_argnums=(10,))
+def align_viterbi(senscr, senid, tp, pred_idx, pred_pen, pred_ok,
+                  astart, aend, n_frames, entry_score=None,
+                  with_scores: bool = True):
+    """Run the masked Viterbi DP over a phone graph.
+
+    senscr [T, n_sen] int16/32 senone scores (0=best per frame)
+    senid [P, 3] int32, tp [P, 3, 4] int32
+    pred_idx/pred_pen/pred_ok [P, K]: padded predecessor table from
+      build_pred_table (penalties <= 0)
+    astart/aend [P] int32 active frame windows
+    n_frames: int32 actual frame count (T may be padded)
+    with_scores: also emit the per-frame token scores (needed only when
+      the caller reports per-segment scores; the throughput path skips
+      them, halving the token-stack memory traffic)
+
+    Returns (tok_id [T, P*3] int16/int32, tok_score [T, P*3] int32 or
+             None, final_out_score [P] int32, final_out_hist [P] int32).
+    Token ids are int16 when P*3 fits (saves d2h + HBM bytes).
+    """
+    T = senscr.shape[0]
+    P = senid.shape[0]
+    i32 = jnp.int32
+    tok_dtype = jnp.int16 if P * 3 < 32767 else jnp.int32
+    # Pre-gather per-frame per-state senone scores once, outside the
+    # scan: one big [T, P, 3] gather beats a per-step dynamic-slice +
+    # gather chain inside the loop.
+    sen_all = senscr.astype(i32)[:, senid]  # [T, P, 3]
+    step = make_vit_step(senid, tp, pred_idx, pred_pen, pred_ok,
+                         astart, aend, n_frames, with_scores, tok_dtype)
+    carry0 = vit_carry0(P, entry_score)
     (score, hist, out_score, out_hist, _), (tok_id, tok_score) = \
         jax.lax.scan(step, carry0, (jnp.arange(T, dtype=i32), sen_all),
                      unroll=4)
