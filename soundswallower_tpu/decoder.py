@@ -91,6 +91,11 @@ class Decoder:
         if config["loglevel"] and \
                 config["loglevel"].upper() not in _LOGLEVELS:
             raise RuntimeError(f"Invalid loglevel {config['loglevel']}")
+        if config["loglevel"]:
+            # err_set_loglevel_str equivalent (err.c:51-60)
+            lvl = config["loglevel"].upper()
+            lvl = {"WARN": "WARNING", "FATAL": "CRITICAL"}.get(lvl, lvl)
+            LOG.setLevel(getattr(logging, lvl))
         try:
             self.lmath = LogMath(config.get_float("logbase"), 0, True)
             self.am = AcousticModel.load(config, self.lmath)
@@ -439,6 +444,20 @@ class Decoder:
                 n_sen, n_sen // max(1, n_frames))
             LOG.info("%.2f wall %.2f xRT, %.2f CPU %.2f xRT",
                      wall, wall / speech, cpu, cpu / speech)
+
+    def set_logfile(self, path: str | None):
+        """decoder_set_logfile (decoder.c:201-228): route this package's
+        log output to a file (None restores stderr-only)."""
+        for h in list(LOG.handlers):
+            if getattr(h, "_sst_logfile", False):
+                LOG.removeHandler(h)
+                h.close()
+        if path is not None:
+            h = logging.FileHandler(path)
+            h._sst_logfile = True
+            h.setFormatter(logging.Formatter(
+                "%(levelname)s: %(message)s"))
+            LOG.addHandler(h)
 
     def utt_time(self):
         """decoder_utt_time (decoder.c:1252-1262): (speech, cpu, wall)
