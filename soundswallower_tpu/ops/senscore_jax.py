@@ -257,17 +257,39 @@ def _sen_stage(tables: ScorerTables, topn_scores, topn_cw):
     return out.reshape(T, -1)
 
 
+def _use_pallas() -> bool:
+    import os
+
+    if os.environ.get("SST_PALLAS", "0") != "1":
+        return False
+    return jax.default_backend() != "cpu"
+
+
 def score_frames(tables: ScorerTables, feats, dist_mode: str = "fold"):
     """feats [T, F, L] float32 -> grouped senone scores int16 [T, G].
 
-    Three separately dispatched jits, NOT one fused graph: on TPU, XLA
-    fuses the unrolled 13-dim distance fold into its consumers (even
+    Three separately dispatched jits, NOT one fused XLA graph: on TPU,
+    XLA fuses the unrolled 13-dim distance fold into its consumers (even
     through lax.optimization_barrier), which measures 10-20x slower
     than materializing the distances (1.25 s -> 0.11 s per 12k frames).
     Dispatches are async, so staging costs only host-side microseconds.
+
+    SST_PALLAS=1 swaps distance+top-N for the fused Pallas kernel
+    (senscore_pallas.dist_topn_fused): bit-identical, and the distance
+    tensor never touches HBM, but as measured on the current tunnel TPU
+    its VPU-reduction inner loop is ~3x slower than the staged path
+    (250 vs 81 ms per 20k frames), so it stays opt-in until the top-N
+    reduction is restructured.
     """
-    di = _dist_stage(tables, feats, dist_mode)
-    topn_scores, topn_cw = _topn_stage(tables, di)
+    if dist_mode == "fold" and _use_pallas():
+        from .senscore_pallas import dist_topn_fused
+
+        t = tables
+        topn_scores, topn_cw = dist_topn_fused(
+            feats, t.means, t.var_t, t.det, t.max_topn)
+    else:
+        di = _dist_stage(tables, feats, dist_mode)
+        topn_scores, topn_cw = _topn_stage(tables, di)
     return _sen_stage(tables, topn_scores, topn_cw)
 
 
