@@ -156,14 +156,12 @@ class TpuAligner:
         # match the reference convention (state_align_search_finish uses
         # ent->start = cur_frame + 1, state_align_search.c:247): the first
         # segment absorbs one extra frame, the last loses one.
-        bounds = [0]
-        nodes_seq = []
-        for t in range(1, T):
-            if path[t] != path[t - 1]:
-                bounds.append(t + 1)  # +1: reference boundary convention
-                nodes_seq.append(int(path[t - 1]))
-        nodes_seq.append(int(path[T - 1]))
-        bounds.append(T)
+        # (vectorized: the per-frame Python loop was ~0.1 ms/utt, which
+        # at B=512 batches was ~6% of end-to-end wall time)
+        p = np.asarray(path[:T])
+        ch = np.nonzero(p[1:] != p[:-1])[0]      # change between t=ch, ch+1
+        bounds = [0] + (ch + 2).tolist() + [T]   # +1: reference convention
+        nodes_seq = p[ch].tolist() + [int(p[T - 1])]
         phones: list[tuple[int, int, int, int]] = []  # node, start, dur, score
         for i, st in enumerate(nodes_seq):
             node = st // 3
