@@ -82,3 +82,28 @@ def test_native_io_wav_vs_raw():
     b = pack_batch([s, s2[:100]])
     assert b.shape == (2, len(s))
     assert b[1, 99] == float(s2[99]) and b[1, 100] == 0.0
+
+
+def test_decoder_timing_and_logfile(tmp_path):
+    """utt_time/all_time perf counters (decoder.c:1252-1274) and
+    set_logfile routing (decoder.c:201-228)."""
+    import logging
+
+    from soundswallower_tpu.decoder import Decoder
+
+    d = Decoder(hmm="/root/reference/model/en-us", loglevel="INFO")
+    logf = str(tmp_path / "decode.log")
+    d.set_logfile(logf)
+    d.set_align_text("go forward")
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", np.int16)[:8000]
+    d.start_utt()
+    d.process_raw(raw)
+    d.end_utt()
+    speech, cpu, wall = d.utt_time()
+    assert abs(speech - 0.5) < 0.02     # 8000 samples @16k = 0.5s
+    assert cpu > 0 and wall > 0
+    a_speech, a_cpu, a_wall = d.all_time()
+    assert a_speech == speech and a_wall >= wall
+    d.set_logfile(None)
+    log = open(logf).read()
+    assert "xRT" in log and "HMMs" in log
