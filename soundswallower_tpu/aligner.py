@@ -202,8 +202,13 @@ class TpuAligner:
         """Batch alignment.  Same-transcript batches run fully vectorized
         (vmap over scoring and Viterbi); mixed transcripts loop."""
         if len(set(texts)) != 1:
-            return [self.align(a, t, dist_mode)
-                    for a, t in zip(audios, texts)]
+            out = []
+            for a, t in zip(audios, texts):
+                try:
+                    out.append(self.align(a, t, dist_mode))
+                except (RuntimeError, KeyError):
+                    out.append(None)  # per-utterance failure flag
+            return out
         g = self.graph_for_text(texts[0])
         ns = np.array([len(a) for a in audios])
         Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
@@ -243,9 +248,24 @@ class TpuAligner:
         paths = np.concatenate([r[0] for r in res])
         final_sc = np.concatenate([r[1] for r in res])
         return [
-            self._extract(g, paths[i], int(Ts[i]), int(final_sc[i]))
+            self._extract_safe(g, paths[i], int(Ts[i]), int(final_sc[i]))
             for i in range(len(audios))
         ]
+
+    def _extract_safe(self, g, path, T, final_score):
+        """Per-utterance failure isolation (SURVEY §5: an unreachable
+        alignment flags THAT utterance, it doesn't kill the batch)."""
+        try:
+            return self._extract(g, path, T, final_score)
+        except RuntimeError:
+            return None
+
+    def stream(self, text: str):
+        """Streaming alignment with explicit checkpointable state
+        (see streaming.AlignStream): push int16 chunks, end() -> segs."""
+        from .streaming import AlignStream
+
+        return AlignStream(self, text)
 
     def align_longform_batch(self, audios: list[np.ndarray],
                              texts: list[str], mesh=None,
@@ -298,7 +318,7 @@ class TpuAligner:
             mesh, senscr, senid, tp, pi, pp, pk, g.astart, g.aend,
             Ts.astype(np.int32), entry, g.final_nodes)
         paths, scores = np.asarray(paths), np.asarray(scores)
-        return [self._extract(g, paths[i], int(Ts[i]), int(scores[i]))
+        return [self._extract_safe(g, paths[i], int(Ts[i]), int(scores[i]))
                 for i in range(B)]
 
     def _batch_jit(self, g: AlignGraph, buf, ns, Ts, Tmax: int,

@@ -329,10 +329,16 @@ class Decoder:
         prior = np.float32(st["raw"][start - 1]) if start > 0 else np.float32(0)
         n = len(seg)
         Tpad = max(128, -(-count // 128) * 128)
+        # bucket the sample axis: distinct signal lengths are fresh jit
+        # shapes (expensive compiles); n_samps masking handles padding
+        Npad = max(2048, -(-n // 2048) * 2048)
+        segp = np.zeros(Npad, np.float32)
+        segp[:n] = seg
         if st["noise_state"] is None:
             st["noise_state"] = self.fe.noise_init()
         cep, st["noise_state"] = self.fe.mfcc_chunk(
-            jnp.asarray(seg), n, Tpad, jnp.float32(prior), st["noise_state"])
+            jnp.asarray(segp), n, Tpad, jnp.float32(prior),
+            st["noise_state"], jnp.int32(count))
         return np.asarray(cep[:count])
 
     def _process_live(self, sig: np.ndarray, no_search: bool) -> int:

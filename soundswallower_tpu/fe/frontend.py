@@ -340,10 +340,11 @@ class Frontend:
         z = jnp.zeros(self.num_filters, dtype=self.dtype)
         return (z, z, z, z, jnp.ones((), bool))
 
-    def _remove_noise_scan(self, mfspec, init):
+    def _remove_noise_scan(self, mfspec, init, valid=None):
         """fe_remove_noise (fe_noise.c:265-327) as a scan over frames,
         with an explicit carry so chunked processing preserves the
-        cross-frame recurrence."""
+        cross-frame recurrence.  ``valid`` [T] bool freezes the carry on
+        padded frames (needed whenever the carry outlives this call)."""
         lambda_power = 0.7
         lambda_a = 0.995
         lambda_b = 0.5
@@ -399,7 +400,19 @@ class Frontend:
             out = mfs * (coef / jnp.asarray((l2 - l1 + 1), dtype=gain.dtype))
             return (power, noise, floor, peak, jnp.zeros((), bool)), out
 
-        carry, out = jax.lax.scan(step, init, mfspec)
+        def step_masked(carry, xs):
+            mfs, v = xs
+            new_carry, out = step(carry, mfs)
+            # padded rows must not advance the cross-frame recurrence
+            # (streaming carries this state to the next chunk)
+            kept = jax.tree_util.tree_map(
+                lambda n, c: jnp.where(v, n, c), new_carry, carry)
+            return kept, out
+
+        if valid is None:
+            carry, out = jax.lax.scan(step, init, mfspec)
+        else:
+            carry, out = jax.lax.scan(step_masked, init, (mfspec, valid))
         return out, carry
 
     def _dct(self, logspec):
@@ -452,11 +465,14 @@ class Frontend:
 
     @partial(jax.jit, static_argnums=(0, 3))
     def mfcc_chunk(self, signal_f32, n_samps, max_frames: int, prior,
-                   noise_state):
+                   noise_state, n_frames=None):
         """Chunk MFCC with explicit streaming state: ``prior`` is the
         sample preceding the chunk (pre-emphasis continuity,
         fe_interface.c:393-575 overflow semantics) and ``noise_state`` the
-        noise-removal carry.  Returns (cep, new_noise_state)."""
+        noise-removal carry.  ``n_frames`` (traced int) bounds the rows
+        that advance the noise carry — REQUIRED when the returned state
+        feeds a next chunk, else padding pollutes the recurrence.
+        Returns (cep, new_noise_state)."""
         dt = self.dtype
         shift, size, nfft = self.frame_shift, self.frame_size, self.fft_size
         sig = signal_f32
@@ -495,7 +511,10 @@ class Frontend:
         spec = jnp.concatenate([spec0, spec], axis=-1)
         mfspec = self._mel_spec(spec)
         if self.remove_noise:
-            mfspec, noise_state = self._remove_noise_scan(mfspec, noise_state)
+            valid_fr = None if n_frames is None else \
+                (jnp.arange(max_frames) < n_frames)
+            mfspec, noise_state = self._remove_noise_scan(
+                mfspec, noise_state, valid_fr)
         logspec = jnp.log(mfspec + 1e-4)  # LOG_FLOOR, fe_sigproc.c:609
         mfcep = self._dct(logspec)
         if self._lifter is not None:

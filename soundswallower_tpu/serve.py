@@ -89,7 +89,12 @@ class AlignService:
             try:
                 results = self.aligner.align_batch(audios, texts)
                 for (_, _, fut), segs in zip(batch, results):
-                    fut.set_result(segs)
+                    if segs is None:
+                        fut.set_exception(RuntimeError(
+                            "alignment failed (unreachable final state "
+                            "or unknown word)"))
+                    else:
+                        fut.set_result(segs)
             except Exception as e:  # per-request isolation
                 LOG.exception("batch of %d failed", len(batch))
                 for _, _, fut in batch:

@@ -73,6 +73,33 @@ def test_jsgf_grammar_decode():
 
 
 @slow
+def test_live_chunked_decode_byte_parity():
+    """CHUNKED decode (full_utt=False, 1600-sample chunks) vs the C
+    reference's own live path (tools/oracle/live_oracle.c goldens):
+    fe overflow stitching, live CMN, begin/end replication — segs incl.
+    ascr/lscr and the two-pass JSON must match byte for byte."""
+    from soundswallower_tpu.decoder import Decoder
+
+    d = Decoder(hmm="/root/reference/model/en-us")
+    d.set_align_text("go forward ten meters")
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", dtype=np.int16)
+    d.start_utt()
+    for i0 in range(0, len(raw), 1600):
+        d.process_raw(raw[i0:i0 + 1600], full_utt=False)
+    d.end_utt()
+    assert d.hyp.text == "go forward ten meters"
+    segs = [(s["word"], s["sf"], s["ef"], s["ascr"], s["lscr"])
+            for s in d.seg_iter()]
+    gold = []
+    for line in open(f"{GOLDEN}/live-goforward/segs.txt"):
+        w, sf, ef, ascr, lscr = line.split()
+        gold.append((w, int(sf), int(ef), int(ascr), int(lscr)))
+    assert segs == gold
+    js = d.result_json(0.0, 2)
+    assert js == open(f"{GOLDEN}/live-goforward/result.json").read()
+
+
+@slow
 def test_semi_backend_json_byte_parity(semi_en):
     """Full two-pass decode in the semi-continuous backend, vs the C
     oracle run with the same synthesized single-codebook means/variances
