@@ -45,6 +45,7 @@ class WordSeg:
     duration: int
     score: int = 0
     phones: list | None = None  # list of (ciphone, start, duration, score)
+    wid: int = -1               # dict word id (grammar decode)
 
 
 class TpuAligner:
@@ -259,6 +260,111 @@ class TpuAligner:
             return self._extract(g, path, T, final_score)
         except RuntimeError:
             return None
+
+    # -- grammar decoding ----------------------------------------------------
+
+    def set_grammar(self, fsg=None, jsgf_file: str | None = None,
+                    jsgf_string: str | None = None):
+        """Compile a grammar (FsgModel / JSGF) into a static decode
+        graph for dense TPU Viterbi (ops/decode_graph.py).  Silence
+        self-loops and alternate pronunciations are added per config
+        like fsg_search_init (fsg_search.c:84-170)."""
+        from .jsgf import Jsgf
+        from .ops.decode_graph import build_fsg_graph
+
+        if jsgf_file is not None or jsgf_string is not None:
+            j = Jsgf.parse_file(jsgf_file) if jsgf_file \
+                else Jsgf.parse_string(jsgf_string)
+            rule = j.get_rule(self.config["toprule"]) \
+                if self.config["toprule"] else j.default_rule()
+            fsg = j.build_fsg(rule, self.lmath, self.config.get_float("lw"))
+        if fsg is None:
+            raise ValueError("need fsg, jsgf_file, or jsgf_string")
+        if self.config.get_bool("fsgusefiller") and not fsg.has_sil:
+            fsg.add_silence("<sil>", -1, self.config.get_float("silprob"))
+            for wid in range(self.dict.filler_start,
+                             self.dict.filler_end + 1):
+                if wid in (self.dict.startwid, self.dict.finishwid,
+                           self.dict.silwid):
+                    continue
+                fsg.add_silence(self.dict.wordstr(wid), -1,
+                                self.config.get_float("fillprob"))
+        if self.config.get_bool("fsgusealtpron") and not fsg.has_alt:
+            for word in list(fsg.vocab):
+                wid = self.dict.wordid(word)
+                if wid < 0:
+                    continue
+                alt = self.dict.nextalt(wid)
+                while alt >= 0:
+                    fsg.add_alt(word, self.dict.wordstr(alt))
+                    alt = self.dict.nextalt(alt)
+        self._decode_graph = build_fsg_graph(
+            fsg, self.dict, self.d2p, self.am, self.lmath, self.config)
+        self._decode_fsg = fsg
+        return self._decode_graph
+
+    def decode(self, audio: np.ndarray,
+               dist_mode: str = "fold") -> tuple[str, list[WordSeg]]:
+        """Grammar decode one int16 utterance against the graph from
+        set_grammar(): dense global Viterbi over the compiled search
+        space (no beams — exact search).  Returns (hyp text, segs)."""
+        g = getattr(self, "_decode_graph", None)
+        if g is None:
+            raise RuntimeError("call set_grammar() first")
+        audio = np.asarray(audio)
+        if audio.dtype != np.int16:
+            raise TypeError("decode expects int16 audio")
+        n = len(audio)
+        T = self.fe.n_frames(n)
+        Tpad = max(128, -(-T // 128) * 128)
+        cep = self.fe.mfcc(jnp.asarray(audio.astype(np.float32)), n, Tpad)
+        feats = feats_full_utt(cep, jnp.int32(T), self.config["cmn"])
+        senscr = score_frames(self.tables, feats, dist_mode)
+        path, final_sc = self._viterbi(g, senscr, jnp.int32(T))
+        segs = self._extract_decode(g, np.asarray(path), T)
+        hyp = " ".join(
+            self.dict.wordstr(self.dict.basewid_of(s.wid))
+            for s in segs if not self.dict.filler_word(s.wid))
+        return hyp, segs
+
+    def _extract_decode(self, g: AlignGraph, path, T: int) -> list[WordSeg]:
+        """Decode-path extraction: unlike the alignment chain, a graph
+        traversal can RE-ENTER the same node (self-loop grammars).  A
+        within-node HMM-state decrease marks the re-entry boundary;
+        words group by runs of the same graph transition (word_of), with
+        a new traversal starting whenever the phone position does not
+        advance."""
+        if path[T - 1] < 0:
+            raise RuntimeError("Decode failed to reach final state")
+        p = np.asarray(path[:T])
+        node = p // 3
+        state = p % 3
+        change = (node[1:] != node[:-1]) | (state[1:] < state[:-1])
+        ch = np.nonzero(change)[0]
+        bounds = [0] + (ch + 2).tolist() + [T]
+        nodes_seq = node[ch].tolist() + [int(node[T - 1])]
+        segs: list[WordSeg] = []
+        cur_ti = None
+        last_pos = -1
+        for i, nd in enumerate(nodes_seq):
+            start = bounds[i]
+            dur = bounds[i + 1] - bounds[i]
+            if dur <= 0:
+                continue
+            ti = int(g.word_of[nd])
+            pos = int(g.pos_of[nd])
+            wid = int(g.variant_of[nd])
+            ci = self.am.mdef.ciphone_str(int(g.cipid[nd]))
+            if ti != cur_ti or pos <= last_pos:
+                seg = WordSeg(self.dict.wordstr(wid), start, 0, phones=[])
+                seg.wid = wid
+                segs.append(seg)
+                cur_ti = ti
+            seg = segs[-1]
+            seg.phones.append((ci, start, dur, 0))
+            seg.duration = start + dur - seg.start
+            last_pos = pos
+        return segs
 
     def stream(self, text: str):
         """Streaming alignment with explicit checkpointable state

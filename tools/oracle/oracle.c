@@ -96,7 +96,7 @@ int main(int argc, char *argv[]) {
     /* Pass B: full decode with align text (or <sil> placeholder), dumping
      * features and senone scores. */
     {
-        const char *text = argc > 4 ? argv[4] : NULL;
+        const char *text = (argc > 4 && argv[4][0]) ? argv[4] : NULL;
         int16 *rp = raw;
         int n_sen = d->acmod->mdef ? bin_mdef_n_sen(d->acmod->mdef) : 0;
         FILE *feat_out, *sen_out;
@@ -140,10 +140,9 @@ int main(int argc, char *argv[]) {
 
 
 
-        if (text) {
+        {
+            /* First-pass word segs (align-text OR grammar decode) */
             seg_iter_t *seg;
-            const char *jsonres;
-            /* First-pass word segs */
             snprintf(path, sizeof(path), "%s/segs.txt", outdir);
             out = fopen(path, "w");
             for (seg = decoder_seg_iter(d); seg; seg = seg_iter_next(seg)) {
@@ -155,6 +154,10 @@ int main(int argc, char *argv[]) {
                         sf, ef, ascr, lscr);
             }
             fclose(out);
+            printf("hyp: %s\n", decoder_hyp(d, NULL));
+        }
+        if (text) {
+            const char *jsonres;
             /* Pass-2 per-frame senone scores: replicate decoder_alignment's
              * loop manually so we can dump acmod_score output. */
             {
