@@ -327,6 +327,53 @@ class TpuAligner:
             for s in segs if not self.dict.filler_word(s.wid))
         return hyp, segs
 
+    def decode_batch(self, audios: list[np.ndarray],
+                     dist_mode: str = "fold") -> list:
+        """Vectorized grammar decode of a batch against the graph from
+        set_grammar(): the same chunk-pipelined path as align_batch
+        (host FE -> upload -> scoring -> vmapped Viterbi).  Returns
+        (hyp, segs) per utterance; None for failed utterances."""
+        g = getattr(self, "_decode_graph", None)
+        if g is None:
+            raise RuntimeError("call set_grammar() first")
+        ns = np.array([len(a) for a in audios])
+        Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
+        N = int(ns.max())
+        Tmax = max(64, -(-int(Ts.max()) // 64) * 64)
+        buf = np.zeros((len(audios), N), np.int16)
+        for i, a in enumerate(audios):
+            buf[i, : len(a)] = a
+        B = len(audios)
+        chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "16")))
+        outs = []
+        for i0 in range(0, B, chunk):
+            Ts_d = jax.device_put(Ts[i0:i0 + chunk])
+            if self.native_fe is not None:
+                cep = self.native_fe.process_batch(
+                    buf[i0:i0 + chunk], ns[i0:i0 + chunk], Tmax)
+                out = self._batch_jit_cep(g, jax.device_put(cep), Ts_d,
+                                          Tmax, dist_mode)
+            else:
+                out = self._batch_jit(g, jax.device_put(buf[i0:i0 + chunk]),
+                                      jax.device_put(ns[i0:i0 + chunk]),
+                                      Ts_d, Tmax, dist_mode)
+            for x in out:
+                x.copy_to_host_async()
+            outs.append(out)
+        res = jax.device_get(outs)
+        paths = np.concatenate([r[0] for r in res])
+        results = []
+        for i in range(B):
+            try:
+                segs = self._extract_decode(g, paths[i], int(Ts[i]))
+                hyp = " ".join(
+                    self.dict.wordstr(self.dict.basewid_of(s.wid))
+                    for s in segs if not self.dict.filler_word(s.wid))
+                results.append((hyp, segs))
+            except RuntimeError:
+                results.append(None)
+        return results
+
     def _extract_decode(self, g: AlignGraph, path, T: int) -> list[WordSeg]:
         """Decode-path extraction: unlike the alignment chain, a graph
         traversal can RE-ENTER the same node (self-loop grammars).  A

@@ -91,6 +91,20 @@ def test_decode_end_to_end_audio(en):
     assert pos == en.fe.n_frames(len(raw))
 
 
+def test_decode_batch(en):
+    """Batched grammar decode must match per-utterance decode()."""
+    en.set_grammar(jsgf_file=f"{DATADIR}/goforward.gram")
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", np.int16)
+    single_hyp, single_segs = en.decode(raw)
+    batch = en.decode_batch([raw, raw[:20000], raw])
+    assert batch[0] is not None and batch[2] is not None
+    hyp0, segs0 = batch[0]
+    assert hyp0 == single_hyp
+    assert ([(s.word, s.start, s.duration) for s in segs0]
+            == [(s.word, s.start, s.duration) for s in single_segs])
+    assert batch[0][0] == batch[2][0]
+
+
 def test_decode_fsg_text_format(en):
     """Text-format FSG file (goforward.fsg) through FsgModel.read."""
     from soundswallower_tpu.fsg import FsgModel
