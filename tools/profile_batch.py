@@ -43,6 +43,9 @@ def main():
     for i, a in enumerate(audios):
         buf[i, : len(a)] = a
 
+    assert al.native_fe is not None, (
+        "unset SST_FE=device to profile the host-FE path")
+
     def stage(name, fn, reps=3):
         fn()  # warm
         t0 = time.time()

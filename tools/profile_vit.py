@@ -22,7 +22,8 @@ def main():
     g = al.graph_for_text("go forward ten meters")
     P = len(g.senid)
     Tmax = 192
-    print(f"P={P} nodes, K={build_pred_table(g.edge_src, g.edge_dst, g.edge_pen, P)[0].shape[1]}, B={B}, T={Tmax}")
+    pi, pp, pk = build_pred_table(g.edge_src, g.edge_dst, g.edge_pen, P)
+    print(f"P={P} nodes, K={pi.shape[1]}, B={B}, T={Tmax}")
 
     rng = np.random.RandomState(0)
     senscr = jnp.asarray(
@@ -33,7 +34,6 @@ def main():
         np.where(g.is_entry, g.entry_pen, WORST_SCORE).astype(np.int32))
     senid = jnp.asarray(al.tables.sen_remap[g.senid].astype(np.int32))
     tp = al.tmat_i32[jnp.asarray(g.tmatid)]
-    pi, pp, pk = build_pred_table(g.edge_src, g.edge_dst, g.edge_pen, P)
     pi, pp, pk = jnp.asarray(pi), jnp.asarray(pp), jnp.asarray(pk)
     ast, aen = jnp.asarray(g.astart), jnp.asarray(g.aend)
     fin = jnp.asarray(g.final_nodes)
