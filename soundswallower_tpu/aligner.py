@@ -33,8 +33,8 @@ from .fe.feat import feats_full_utt
 from .fe.frontend import Frontend
 from .logmath import LogMath
 from .ops.align_graph import AlignGraph, build_chain_graph
-from .ops.align_jax import (WORST_SCORE, align_viterbi, backtrace,
-                            build_pred_table)
+from .ops.align_jax import (WORST_SCORE, align_viterbi, align_viterbi_batch,
+                            backtrace, build_pred_table)
 from .ops.senscore_jax import ScorerTables, score_frames
 
 
@@ -228,30 +228,46 @@ class TpuAligner:
         # With the native host FE, each chunk uploads [chunk, Tmax, 13]
         # f32 cepstra instead of raw audio, and chunk i+1's host FE runs
         # while chunk i computes on device.
-        B = len(audios)
+        paths, final_sc = self._batch_pipeline(g, buf, ns, Ts, Tmax,
+                                               dist_mode)
+        return [
+            self._extract_safe(g, paths[i], int(Ts[i]), int(final_sc[i]))
+            for i in range(len(audios))
+        ]
+
+    def _batch_pipeline(self, g: AlignGraph, buf, ns, Ts, Tmax: int,
+                        dist_mode: str):
+        """Shared chunk-pipelined batch path: per chunk, host FE (or
+        device FE) -> upload -> dynamic features -> dense senone scoring
+        with the [n_sen]->[S] graph gather folded in; then ONE whole-batch
+        Viterbi + backtrace with the batch in the vector lanes
+        (align_viterbi_batch).  Chunking exists so chunk i+1's host FE and
+        h2d upload overlap chunk i's device compute; the Viterbi runs
+        over the full batch because its scan cost is per-FRAME, not
+        per-utterance, once the batch fills the lanes."""
+        B = len(buf)
         chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "16")))
-        outs = []
+        sen_chunks = []
         for i0 in range(0, B, chunk):
             Ts_d = jax.device_put(Ts[i0:i0 + chunk])
             if self.native_fe is not None:
                 cep = self.native_fe.process_batch(
                     buf[i0:i0 + chunk], ns[i0:i0 + chunk], Tmax)
-                out = self._batch_jit_cep(g, jax.device_put(cep), Ts_d,
-                                          Tmax, dist_mode)
+                sen_g = self._score_chunk_cep(g, jax.device_put(cep), Ts_d,
+                                              Tmax, dist_mode)
             else:
                 buf_d = jax.device_put(buf[i0:i0 + chunk])
                 ns_d = jax.device_put(ns[i0:i0 + chunk])
-                out = self._batch_jit(g, buf_d, ns_d, Ts_d, Tmax, dist_mode)
-            for x in out:  # overlap d2h with the next chunk's compute
-                x.copy_to_host_async()
-            outs.append(out)
-        res = jax.device_get(outs)
-        paths = np.concatenate([r[0] for r in res])
-        final_sc = np.concatenate([r[1] for r in res])
-        return [
-            self._extract_safe(g, paths[i], int(Ts[i]), int(final_sc[i]))
-            for i in range(len(audios))
-        ]
+                sen_g = self._score_chunk_raw(g, buf_d, ns_d, Ts_d, Tmax,
+                                              dist_mode)
+            sen_chunks.append(sen_g)
+        sen_all = sen_chunks[0] if len(sen_chunks) == 1 \
+            else jnp.concatenate(sen_chunks, axis=0)
+        paths, final_sc = self._vit_full(g, sen_all,
+                                         jax.device_put(Ts.astype(np.int32)))
+        paths.copy_to_host_async()
+        final_sc.copy_to_host_async()
+        return np.asarray(paths), np.asarray(final_sc)
 
     def _extract_safe(self, g, path, T, final_score):
         """Per-utterance failure isolation (SURVEY §5: an unreachable
@@ -344,24 +360,8 @@ class TpuAligner:
         for i, a in enumerate(audios):
             buf[i, : len(a)] = a
         B = len(audios)
-        chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "16")))
-        outs = []
-        for i0 in range(0, B, chunk):
-            Ts_d = jax.device_put(Ts[i0:i0 + chunk])
-            if self.native_fe is not None:
-                cep = self.native_fe.process_batch(
-                    buf[i0:i0 + chunk], ns[i0:i0 + chunk], Tmax)
-                out = self._batch_jit_cep(g, jax.device_put(cep), Ts_d,
-                                          Tmax, dist_mode)
-            else:
-                out = self._batch_jit(g, jax.device_put(buf[i0:i0 + chunk]),
-                                      jax.device_put(ns[i0:i0 + chunk]),
-                                      Ts_d, Tmax, dist_mode)
-            for x in out:
-                x.copy_to_host_async()
-            outs.append(out)
-        res = jax.device_get(outs)
-        paths = np.concatenate([r[0] for r in res])
+        paths, _final_sc = self._batch_pipeline(g, buf, ns, Ts, Tmax,
+                                                dist_mode)
         results = []
         for i in range(B):
             try:
@@ -474,17 +474,18 @@ class TpuAligner:
         return [self._extract_safe(g, paths[i], int(Ts[i]), int(scores[i]))
                 for i in range(B)]
 
-    def _batch_jit(self, g: AlignGraph, buf, ns, Ts, Tmax: int,
-                   dist_mode: str):
-        """Batch path with on-device FE: raw int16 audio [B, N] in."""
+    def _score_chunk_raw(self, g: AlignGraph, buf, ns, Ts, Tmax: int,
+                         dist_mode: str):
+        """Chunk scoring with on-device FE: raw int16 audio [B, N] in,
+        graph-gathered senone scores [B, Tmax, S] int32 out."""
         def fe_one(audio, n, T):
             cep = self.fe.mfcc(audio.astype(jnp.float32), n, Tmax)
             return feats_full_utt(cep, T, self.config["cmn"])
 
-        # Three separately-jitted stages: one fused mega-graph (or a
-        # vmapped scorer) sends this environment's AOT compiler into
-        # multi-minute compiles; staged dispatch reuses each stage's
-        # cached executable and loses nothing at these sizes.
+        # Separately-jitted stages: one fused mega-graph (or a vmapped
+        # scorer) sends this environment's AOT compiler into multi-minute
+        # compiles; staged dispatch reuses each stage's cached executable
+        # and loses nothing at these sizes.
         if not hasattr(self, "_fe_batch_jit"):
             self._fe_batch_jit = {}
         key = (buf.shape, Tmax)
@@ -492,14 +493,14 @@ class TpuAligner:
         if fe_j is None:
             fe_j = self._fe_batch_jit[key] = jax.jit(jax.vmap(fe_one))
         feats = fe_j(buf, ns, Ts)                       # [B,T,F,L]
-        return self._score_and_vit(g, feats, Ts, Tmax, dist_mode)
+        return self._score_gather(g, feats, Tmax, dist_mode)
 
-    def _batch_jit_cep(self, g: AlignGraph, cep, Ts, Tmax: int,
-                       dist_mode: str):
-        """Batch path when cepstra came from the host FE: [B, Tmax, ncep]
-        float32 in (bit-exact with the device FE; see fe/native_fe.py),
-        vmapped dynamic-feature computation on device, then the shared
-        scoring + Viterbi stages."""
+    def _score_chunk_cep(self, g: AlignGraph, cep, Ts, Tmax: int,
+                         dist_mode: str):
+        """Chunk scoring when cepstra came from the host FE: [B, Tmax,
+        ncep] float32 in (bit-exact with the device FE; see
+        fe/native_fe.py), vmapped dynamic-feature computation on device,
+        then shared scoring + graph gather."""
         cmn = self.config["cmn"]
 
         def feat_one(c, T):
@@ -512,42 +513,85 @@ class TpuAligner:
         if fj is None:
             fj = self._feat_batch_jit[key] = jax.jit(jax.vmap(feat_one))
         feats = fj(cep, Ts)                             # [B,T,F,L]
-        return self._score_and_vit(g, feats, Ts, Tmax, dist_mode)
+        return self._score_gather(g, feats, Tmax, dist_mode)
 
-    def _score_and_vit(self, g: AlignGraph, feats, Ts, Tmax: int,
-                       dist_mode: str):
-        """Shared back half of the batch paths: dense senone scoring over
-        the folded [B*T] frame axis, then a vmapped graph Viterbi +
-        backtrace (jit cached per (graph, B, Tmax))."""
-        entry = jnp.asarray(
-            np.where(g.is_entry, g.entry_pen, WORST_SCORE).astype(np.int32))
-        senid = jnp.asarray(self.tables.sen_remap[g.senid].astype(np.int32))
-        tp = self.tmat_i32[jnp.asarray(g.tmatid)]
-        pi, pp, pk = build_pred_table(g.edge_src, g.edge_dst, g.edge_pen,
-                                      len(g.senid))
-        pi, pp, pk = jnp.asarray(pi), jnp.asarray(pp), jnp.asarray(pk)
-        ast, aen = jnp.asarray(g.astart), jnp.asarray(g.aend)
-        fin = jnp.asarray(g.final_nodes)
+    def _graph_consts(self, g: AlignGraph):
+        """Device-resident per-graph Viterbi constants, cached."""
+        if not hasattr(self, "_graph_const_cache"):
+            self._graph_const_cache = {}
+        c = self._graph_const_cache.get(id(g))
+        if c is None:
+            entry = jnp.asarray(np.where(g.is_entry, g.entry_pen,
+                                         WORST_SCORE).astype(np.int32))
+            senid = jnp.asarray(
+                self.tables.sen_remap[g.senid].astype(np.int32))
+            tp = self.tmat_i32[jnp.asarray(g.tmatid)]
+            pi, pp, pk = build_pred_table(g.edge_src, g.edge_dst,
+                                          g.edge_pen, len(g.senid))
+            c = dict(entry=entry, senid=senid, tp=tp,
+                     pi=jnp.asarray(pi), pp=jnp.asarray(pp),
+                     pk=jnp.asarray(pk), ast=jnp.asarray(g.astart),
+                     aen=jnp.asarray(g.aend),
+                     fin=jnp.asarray(g.final_nodes))
+            self._graph_const_cache[id(g)] = c
+        return c
 
-        def vit_one(senscr, T):
-            tok_id, _, out_score, out_hist = align_viterbi(
-                senscr, senid, tp, pi, pp, pk, ast, aen, T, entry, False)
-            fsc = out_score[fin]
-            best = jnp.argmax(fsc)
-            final_node = fin[best]
-            path, _ = backtrace(tok_id, None, out_hist[final_node],
-                                out_score[final_node], T)
-            return path, out_score[final_node]
-
+    def _score_gather(self, g: AlignGraph, feats, Tmax: int,
+                      dist_mode: str):
+        """Dense senone scoring over the folded [B*T] frame axis, with
+        the [n_sen] -> [S] per-graph-state gather folded in as a one-hot
+        float32 matmul (rides the same MXU pass as scoring; senone
+        scores are < 2^15 so one-hot f32 products are exact)."""
+        c = self._graph_consts(g)
         B = feats.shape[0]
-        # Scoring is frame-independent: fold the batch into the frame axis.
         flat = feats.reshape((-1,) + feats.shape[2:])
-        senscr = score_frames(self.tables, flat, dist_mode)
-        senscr = senscr.reshape(B, Tmax, -1)
+        senscr = score_frames(self.tables, flat, dist_mode)   # [B*T, G]
+        if not hasattr(self, "_gather_jit"):
+            self._gather_jit = {}
+        key = (id(g), senscr.shape)
+        gj = self._gather_jit.get(key)
+        if gj is None:
+            G = senscr.shape[-1]
+            sen_flat = np.asarray(c["senid"]).reshape(-1)
+            onehot = jnp.asarray(
+                (sen_flat[None, :] == np.arange(G)[:, None])
+                .astype(np.float32))
+
+            def gather(ss):
+                out = jnp.dot(ss.astype(jnp.float32), onehot,
+                              preferred_element_type=jnp.float32)
+                return out.astype(jnp.int32).reshape(B, Tmax, -1)
+
+            gj = self._gather_jit[key] = jax.jit(gather)
+        return gj(senscr)
+
+    def _vit_full(self, g: AlignGraph, sen_g, Ts):
+        """Whole-batch lane-major Viterbi + final-node select + batched
+        backtrace.  sen_g [B, T, S] int32 graph-gathered scores."""
+        c = self._graph_consts(g)
         if not hasattr(self, "_vit_batch_jit"):
             self._vit_batch_jit = {}
-        gkey = (id(g), B, Tmax)
+        gkey = (id(g), sen_g.shape)
         vit_j = self._vit_batch_jit.get(gkey)
         if vit_j is None:
-            vit_j = self._vit_batch_jit[gkey] = jax.jit(jax.vmap(vit_one))
-        return vit_j(senscr, Ts)
+            fin = c["fin"]
+
+            def run(sg, Ts):
+                tok_id, _, out_score, out_hist = align_viterbi_batch(
+                    sg, c["tp"], c["pi"], c["pp"], c["pk"], c["ast"],
+                    c["aen"], Ts, False, c["entry"])
+                fsc = out_score[:, fin]                    # [B, F]
+                best = jnp.argmax(fsc, axis=1)
+                final_node = fin[best]                     # [B]
+                rows = jnp.arange(sg.shape[0])
+                fstate = out_hist[rows, final_node]
+                fscore = out_score[rows, final_node]
+                def bt_one(tid, st, sc, T):
+                    p, _ = backtrace(tid, None, st, sc, T)
+                    return p
+
+                path = jax.vmap(bt_one)(tok_id, fstate, fscore, Ts)
+                return path, fscore
+
+            vit_j = self._vit_batch_jit[gkey] = jax.jit(run)
+        return vit_j(sen_g, Ts)

@@ -258,6 +258,199 @@ def align_viterbi(senscr, senid, tp, pred_idx, pred_pen, pred_ok,
     return tok_id, tok_score, out_score, out_hist
 
 
+def _eval_3st_lanes(score, hist, out_score, out_hist, senscr, tp, active):
+    """Batch-in-lanes hmm_vit_eval_3st_lr: identical arithmetic to
+    _eval_3st but with the BATCH as the minor (lane) dimension.
+
+    score/hist/senscr [P, 3, B], out_score/out_hist [P, B], tp [P, 3, 4]
+    (per-phone constants, broadcast over lanes), active [P, B] bool.
+
+    Why: with [B, P, 3] layouts every per-state array has a minor dim of
+    3, which the TPU pads to 128 lanes — 42x wasted vector lanes and HBM
+    bandwidth per scan step, making the Viterbi scan the pipeline
+    bottleneck (measured ~0.43 ms/frame at B=512).  Putting B in lanes
+    fills the vector unit and makes the per-frame state ~P*3*B*4 bytes
+    dense.
+    """
+    i32 = jnp.int32
+
+    def tprob(i, j):
+        return -tp[:, i, j][:, None]        # [P, 1] broadcast over lanes
+
+    s0 = score[:, 0] + -senscr[:, 0]
+    s1 = score[:, 1] + -senscr[:, 1]
+    s2 = score[:, 2] + -senscr[:, 2]
+
+    worst = i32(WORST_SCORE)
+    best = jnp.full_like(s0, worst)
+
+    # --- state 3 (out, non-emitting) --- (same t2 quirk as _eval_3st)
+    t1 = s2 + tprob(2, 3)
+    skip13 = tprob(1, 3) > TMAT_WORST       # [P, 1]
+    t2 = jnp.where(skip13, s1 + tprob(1, 3), NEG_INF)
+    s3 = jnp.where(t1 > t2, t1, t2)
+    new_out_hist = jnp.where(t1 > t2, hist[:, 2], hist[:, 1])
+    s3 = jnp.maximum(s3, worst)
+    do3 = active & (s1 > worst)
+    out_score = jnp.where(do3, s3, out_score)
+    out_hist = jnp.where(do3, new_out_hist, out_hist)
+    best = jnp.where(do3, s3, best)
+    t2_carry = jnp.where(skip13, s1 + tprob(1, 3), NEG_INF)
+
+    # --- state 2 ---
+    t0 = s2 + tprob(2, 2)
+    t1 = s1 + tprob(1, 2)
+    skip02 = tprob(0, 2) > TMAT_WORST
+    t2 = jnp.where(skip02, s0 + tprob(0, 2), t2_carry)
+    branch_a = t0 > t1
+    use_t2 = jnp.where(branch_a, t2 > t0, t2 > t1)
+    ns2 = jnp.where(use_t2, t2, jnp.where(branch_a, t0, t1))
+    nh2 = jnp.where(use_t2, hist[:, 0],
+                    jnp.where(branch_a, hist[:, 2], hist[:, 1]))
+    ns2 = jnp.maximum(ns2, worst)
+    best = jnp.maximum(best, jnp.where(active, ns2, worst))
+
+    # --- state 1 ---
+    t0 = s1 + tprob(1, 1)
+    t1 = s0 + tprob(0, 1)
+    ns1 = jnp.where(t0 > t1, t0, t1)
+    nh1 = jnp.where(t0 > t1, hist[:, 1], hist[:, 0])
+    ns1 = jnp.maximum(ns1, worst)
+    best = jnp.maximum(best, jnp.where(active, ns1, worst))
+
+    # --- state 0 ---
+    ns0 = jnp.maximum(s0 + tprob(0, 0), worst)
+    best = jnp.maximum(best, jnp.where(active, ns0, worst))
+
+    new_score = jnp.stack([ns0, ns1, ns2], axis=1)
+    new_hist = jnp.stack([hist[:, 0], nh1, nh2], axis=1)
+    score = jnp.where(active[:, None], new_score, score)
+    hist = jnp.where(active[:, None], new_hist, hist)
+    return score, hist, out_score, out_hist, best
+
+
+def make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok, astart, aend,
+                        n_frames, with_scores: bool, tok_dtype):
+    """Batch-in-lanes per-frame Viterbi step (see _eval_3st_lanes).
+
+    xs = (t, sen [P, 3, B]); carry = (score [P,3,B], hist [P,3,B],
+    out_score [P,B], out_hist [P,B], best_prev [B]).  n_frames is a
+    per-lane [B] vector.  Arithmetic is identical to make_vit_step —
+    tests/test_align_tpu.py checks the two paths bit-match.
+    """
+    P = tp.shape[0]
+    K = pred_idx.shape[1]
+    i32 = jnp.int32
+    worst = i32(WORST_SCORE)
+    sidx = (jnp.arange(P)[:, None] * 3 + jnp.arange(3)[None, :]).astype(i32)
+
+    def step(carry, xs):
+        score, hist, out_score, out_hist, best_prev = carry
+        t, sen = xs
+        valid_frame = (t < n_frames)[None, :]            # [1, B]
+        in_win = (t >= astart) & (t <= aend)             # [P]
+        active = in_win[:, None] & valid_frame           # [P, B]
+
+        # renormalize (state_align_search.c:193-197), per lane
+        renorm = ((best_prev - 0x300000) < worst)[None, None, :]
+        score = jnp.where(renorm & (score > worst),
+                          score - best_prev[None, None, :], score)
+
+        score, hist, out_score, out_hist, bestv = _eval_3st_lanes(
+            score, hist, out_score, out_hist, sen, tp, active)
+        best = jnp.max(jnp.where(active, bestv, worst), axis=0)   # [B]
+
+        # phone transitions: K-slot predecessor max, first-max-wins over
+        # slots in edge order (matches build_pred_table + argmax).
+        nf = t + 1
+        active_next = active & (nf <= aend)[:, None]
+        ent_score = jnp.full((P, out_score.shape[1]), worst, i32)
+        ent_hist = jnp.full_like(out_hist, -1)
+        ent_ok = jnp.zeros_like(active)
+        for k in range(K):
+            src = pred_idx[:, k]                          # [P]
+            ok_k = pred_ok[:, k][:, None] & active_next[src]
+            val_k = jnp.where(ok_k, out_score[src] + pred_pen[:, k][:, None],
+                              worst)
+            upd = val_k > ent_score                       # strict: first wins
+            ent_score = jnp.where(upd, val_k, ent_score)
+            ent_hist = jnp.where(upd, out_hist[src], ent_hist)
+            ent_ok = jnp.where(upd, ok_k, ent_ok)
+        ent_hist = jnp.where(ent_ok, ent_hist, -1)
+        can_enter = ent_ok & ((nf >= astart) & (nf <= aend))[:, None] \
+            & valid_frame
+        do_enter = can_enter & ((~active) | (ent_score > score[:, 0]))
+        score = score.at[:, 0].set(
+            jnp.where(do_enter, ent_score, score[:, 0]))
+        hist = hist.at[:, 0].set(jnp.where(do_enter, ent_hist, hist[:, 0]))
+
+        recorded = active | do_enter                      # [P, B]
+        S = P * 3
+        B = out_score.shape[1]
+        tok_id = jnp.where(recorded[:, None, :], hist, -1) \
+            .astype(tok_dtype).reshape(S, B)
+        if with_scores:
+            tok_score = jnp.where(recorded[:, None, :], score, -1) \
+                .reshape(S, B)
+        else:
+            tok_score = None
+        hist = jnp.where(recorded[:, None, :], sidx[:, :, None], hist)
+
+        return (score, hist, out_score, out_hist, best), (tok_id, tok_score)
+
+    return step
+
+
+def vit_carry0_lanes(P: int, B: int, entry_score=None):
+    """Initial batch-in-lanes Viterbi carry."""
+    i32 = jnp.int32
+    worst = i32(WORST_SCORE)
+    score0 = jnp.full((P, 3, B), worst, dtype=i32)
+    if entry_score is None:
+        score0 = score0.at[0, 0, :].set(0)
+    else:
+        score0 = score0.at[:, 0, :].set(
+            entry_score.astype(i32)[:, None])
+    hist0 = jnp.full((P, 3, B), -1, dtype=i32)
+    out0 = jnp.full((P, B), worst, dtype=i32)
+    outh0 = jnp.full((P, B), -1, dtype=i32)
+    return (score0, hist0, out0, outh0, jnp.zeros((B,), i32))
+
+
+@partial(jax.jit, static_argnums=(8,))
+def align_viterbi_batch(sen_g, tp, pred_idx, pred_pen, pred_ok,
+                        astart, aend, n_frames, with_scores: bool = False,
+                        entry_score=None):
+    """Whole-batch Viterbi with the batch in the lane dimension.
+
+    sen_g [B, T, S=P*3] int32: senone scores already gathered per graph
+    state (the caller folds the [n_sen]->[S] gather into the scoring
+    stage as an exact one-hot f32 matmul — senone scores are < 2^15 so
+    float32 products are exact).
+    n_frames [B] int32 per-utterance frame counts.
+
+    Returns (tok_id [B, T, S], tok_score or None, out_score [B, P],
+    out_hist [B, P]).  Bit-identical to vmap(align_viterbi) — the lane
+    layout changes only how XLA tiles the arrays, not the arithmetic.
+    """
+    B, T, S = sen_g.shape
+    P = S // 3
+    i32 = jnp.int32
+    tok_dtype = jnp.int16 if S < 32767 else jnp.int32
+    sen_l = sen_g.astype(i32).transpose(1, 2, 0).reshape(T, P, 3, B)
+    step = make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok,
+                               astart, aend, n_frames, with_scores,
+                               tok_dtype)
+    carry0 = vit_carry0_lanes(P, B, entry_score)
+    (score, hist, out_score, out_hist, _), (tok_id, tok_score) = \
+        jax.lax.scan(step, carry0, (jnp.arange(T, dtype=i32), sen_l),
+                     unroll=4)
+    tok_id = tok_id.transpose(2, 0, 1)                    # [B, T, S]
+    if with_scores:
+        tok_score = tok_score.transpose(2, 0, 1)
+    return tok_id, tok_score, out_score.T, out_hist.T
+
+
 @partial(jax.jit, static_argnums=())
 def backtrace(tok_id, tok_score, final_state, final_score, n_frames):
     """Device backtrace: walk the token stack backwards.

@@ -201,9 +201,9 @@ def _topn_stage(tables: ScorerTables, di):
     return _topn_argmax(di, tables.max_topn)
 
 
-@jax.jit
-def _sen_stage(tables: ScorerTables, topn_scores, topn_cw):
-    """Top-N codeword scores/ids [T,cb,F,N] -> grouped scores int16 [T,G]."""
+def _sen_eval(tables: ScorerTables, topn_scores, topn_cw):
+    """Top-N codeword scores/ids [T,cb,F,N] -> grouped scores int16 [T,G]
+    (plain function; _sen_stage is its jitted form)."""
     t = tables
     # codebook_norm (ptm_mgau.c:264-295)
     shifted = topn_scores >> SENSCR_SHIFT
@@ -255,6 +255,9 @@ def _sen_stage(tables: ScorerTables, topn_scores, topn_cw):
         out = out - best[:, None, None].astype(jnp.int16)
     T = out.shape[0]
     return out.reshape(T, -1)
+
+
+_sen_stage = jax.jit(_sen_eval)
 
 
 def _use_pallas() -> bool:
