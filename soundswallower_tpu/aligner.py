@@ -35,7 +35,8 @@ from .logmath import LogMath
 from .ops.align_graph import AlignGraph, build_chain_graph
 from .ops.align_jax import (WORST_SCORE, align_viterbi, align_viterbi_batch,
                             backtrace, build_pred_table)
-from .ops.senscore_jax import ScorerTables, score_frames
+from .ops.senscore_jax import (GraphScorer, ScorerTables, score_frames,
+                               score_frames_graph)
 
 
 @dataclass
@@ -118,8 +119,9 @@ class TpuAligner:
         g = self.graph_for_text(text)
         cep = self.fe.mfcc(jnp.asarray(audio.astype(np.float32)), n, Tpad)
         feats = feats_full_utt(cep, jnp.int32(T), self.config["cmn"])
-        senscr = score_frames(self.tables, feats, dist_mode)
-        path, final_sc = self._viterbi(g, senscr, jnp.int32(T))
+        sen_g = score_frames_graph(self._graph_consts(g)["gs"], feats,
+                                   dist_mode)
+        path, final_sc = self._viterbi_graph(g, sen_g, jnp.int32(T))
         return self._extract(g, np.asarray(path), T, int(final_sc))
 
     def _viterbi(self, g: AlignGraph, senscr, T: int):
@@ -137,6 +139,25 @@ class TpuAligner:
         fsc = out_score[fin]
         best = jnp.argmax(fsc)
         final_node = fin[best]
+        final_state = out_hist[final_node]
+        final_score = out_score[final_node]
+        path, _ = backtrace(tok_id, None, final_state, final_score,
+                            jnp.int32(T))
+        return path, final_score
+
+    def _viterbi_graph(self, g: AlignGraph, sen_g, T):
+        """Single-utterance Viterbi over graph-state scores [T, S] from
+        score_frames_graph (senone gather already applied; the identity
+        senid makes align_viterbi's internal gather a no-op)."""
+        c = self._graph_consts(g)
+        P = len(g.senid)
+        ident = jnp.arange(P * 3, dtype=jnp.int32).reshape(P, 3)
+        tok_id, _, out_score, out_hist = align_viterbi(
+            sen_g, ident, c["tp"], c["pi"], c["pp"], c["pk"],
+            c["ast"], c["aen"], T, c["entry"], False)
+        fin = c["fin"]
+        fsc = out_score[fin]
+        final_node = fin[jnp.argmax(fsc)]
         final_state = out_hist[final_node]
         final_score = out_score[final_node]
         path, _ = backtrace(tok_id, None, final_state, final_score,
@@ -335,8 +356,9 @@ class TpuAligner:
         Tpad = max(128, -(-T // 128) * 128)
         cep = self.fe.mfcc(jnp.asarray(audio.astype(np.float32)), n, Tpad)
         feats = feats_full_utt(cep, jnp.int32(T), self.config["cmn"])
-        senscr = score_frames(self.tables, feats, dist_mode)
-        path, final_sc = self._viterbi(g, senscr, jnp.int32(T))
+        sen_g = score_frames_graph(self._graph_consts(g)["gs"], feats,
+                                   dist_mode)
+        path, final_sc = self._viterbi_graph(g, sen_g, jnp.int32(T))
         segs = self._extract_decode(g, np.asarray(path), T)
         hyp = " ".join(
             self.dict.wordstr(self.dict.basewid_of(s.wid))
@@ -493,7 +515,7 @@ class TpuAligner:
         if fe_j is None:
             fe_j = self._fe_batch_jit[key] = jax.jit(jax.vmap(fe_one))
         feats = fe_j(buf, ns, Ts)                       # [B,T,F,L]
-        return self._score_gather(g, feats, Tmax, dist_mode)
+        return self._score_graph_batch(g, feats, Tmax, dist_mode)
 
     def _score_chunk_cep(self, g: AlignGraph, cep, Ts, Tmax: int,
                          dist_mode: str):
@@ -513,10 +535,11 @@ class TpuAligner:
         if fj is None:
             fj = self._feat_batch_jit[key] = jax.jit(jax.vmap(feat_one))
         feats = fj(cep, Ts)                             # [B,T,F,L]
-        return self._score_gather(g, feats, Tmax, dist_mode)
+        return self._score_graph_batch(g, feats, Tmax, dist_mode)
 
     def _graph_consts(self, g: AlignGraph):
-        """Device-resident per-graph Viterbi constants, cached."""
+        """Device-resident per-graph Viterbi + scoring constants,
+        cached (incl. the graph-restricted GraphScorer)."""
         if not hasattr(self, "_graph_const_cache"):
             self._graph_const_cache = {}
         c = self._graph_const_cache.get(id(g))
@@ -532,38 +555,24 @@ class TpuAligner:
                      pi=jnp.asarray(pi), pp=jnp.asarray(pp),
                      pk=jnp.asarray(pk), ast=jnp.asarray(g.astart),
                      aen=jnp.asarray(g.aend),
-                     fin=jnp.asarray(g.final_nodes))
+                     fin=jnp.asarray(g.final_nodes),
+                     gs=GraphScorer.build(self.am, self.tables, g.senid))
             self._graph_const_cache[id(g)] = c
         return c
 
-    def _score_gather(self, g: AlignGraph, feats, Tmax: int,
-                      dist_mode: str):
-        """Dense senone scoring over the folded [B*T] frame axis, with
-        the [n_sen] -> [S] per-graph-state gather folded in as a one-hot
-        float32 matmul (rides the same MXU pass as scoring; senone
-        scores are < 2^15 so one-hot f32 products are exact)."""
-        c = self._graph_consts(g)
+    def _score_graph_batch(self, g: AlignGraph, feats, Tmax: int,
+                           dist_mode: str):
+        """Graph-restricted senone scoring over the folded [B*T] frame
+        axis: distances + top-N only for the graph's codebooks, mixture
+        eval only for its S = P*3 states (ops/senscore_jax.GraphScorer).
+        Emits [B, Tmax, S] int32 scores directly in graph-state order —
+        the old full-inventory score + [n_sen]->[S] gather did ~60x more
+        mixture-eval work for identical Viterbi paths."""
+        gs = self._graph_consts(g)["gs"]
         B = feats.shape[0]
         flat = feats.reshape((-1,) + feats.shape[2:])
-        senscr = score_frames(self.tables, flat, dist_mode)   # [B*T, G]
-        if not hasattr(self, "_gather_jit"):
-            self._gather_jit = {}
-        key = (id(g), senscr.shape)
-        gj = self._gather_jit.get(key)
-        if gj is None:
-            G = senscr.shape[-1]
-            sen_flat = np.asarray(c["senid"]).reshape(-1)
-            onehot = jnp.asarray(
-                (sen_flat[None, :] == np.arange(G)[:, None])
-                .astype(np.float32))
-
-            def gather(ss):
-                out = jnp.dot(ss.astype(jnp.float32), onehot,
-                              preferred_element_type=jnp.float32)
-                return out.astype(jnp.int32).reshape(B, Tmax, -1)
-
-            gj = self._gather_jit[key] = jax.jit(gather)
-        return gj(senscr)
+        sen_g = score_frames_graph(gs, flat, dist_mode)       # [B*T, S]
+        return sen_g.reshape(B, Tmax, -1)
 
     def _vit_full(self, g: AlignGraph, sen_g, Ts):
         """Whole-batch lane-major Viterbi + final-node select + batched

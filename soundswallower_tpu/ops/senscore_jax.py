@@ -299,3 +299,144 @@ def score_frames(tables: ScorerTables, feats, dist_mode: str = "fold"):
 def ungroup(tables: ScorerTables, grouped: np.ndarray) -> np.ndarray:
     """[..., G] grouped scores -> [..., n_sen] reference senone order."""
     return np.asarray(grouped)[..., tables.sen_remap]
+
+
+# ---------------------------------------------------------------------------
+# Graph-restricted scoring (the alignment/decode fast path)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass(eq=False)
+class GraphScorer:
+    """Scoring restricted to the codebooks and senones a decode graph
+    actually uses.
+
+    An alignment chain touches ~1/3 of the codebooks and ~1/60 of the
+    senone columns of the en-us model, so scoring the full inventory and
+    then gathering [n_sen] -> [S] throws away almost all the work.  This
+    scorer evaluates distances + top-N only for the used codebooks and
+    the mixture sum only for the S = P*3 graph states, emitting senone
+    scores already in graph-state order.
+
+    Normalization: per-frame norms (codebook_norm's cross-codebook max,
+    ptm's best-senone subtraction) are taken over the RESTRICTED sets.
+    Per-frame normalization shifts every state's score equally and
+    cancels in the Viterbi argmax (the same argument that lets the C
+    reference align with active-set scoring, where norms run over the
+    active subset -- ptm_mgau.c:264-295 normalizes whatever was
+    evaluated that frame).  Final path scores differ from compallsen
+    scoring by a per-utterance constant; boundaries do not.
+    """
+
+    means: jnp.ndarray       # f32 [Cu, F, D, L] used-codebook rows
+    var_t: jnp.ndarray       # f32 [Cu, F, D, L]
+    det: jnp.ndarray         # f32 [Cu, F, D]
+    wsel: jnp.ndarray        # mm-dtype [F, Cu*D, S] mixture columns
+    cb_pos: jnp.ndarray      # int32 [S] graph state -> used-codebook row
+    table_thresh: jnp.ndarray  # int32 [K] log-add staircase
+    max_topn: int = field(metadata=dict(static=True), default=4)
+
+    @classmethod
+    def build(cls, am: AcousticModel, tables: ScorerTables,
+              senid_flat: np.ndarray) -> "GraphScorer":
+        """senid_flat [S]: reference senone id per graph state."""
+        senid_flat = np.asarray(senid_flat, np.int64).reshape(-1)
+        S = len(senid_flat)
+        sen2cb = np.asarray(am.sen2cb, np.int64)
+        used_cb = np.unique(sen2cb[senid_flat])
+        cb_row = np.full(int(sen2cb.max()) + 1, -1, np.int64)
+        cb_row[used_cb] = np.arange(len(used_cb))
+        cb_pos = cb_row[sen2cb[senid_flat]].astype(np.int32)
+        # mixture weights for the graph senones (decode the 4-bit
+        # clustered sendump like ScorerTables.from_am)
+        if am.mixw_cb is not None:
+            packed = am.mixw[:, :, senid_flat // 2].astype(np.int64)
+            dcw = np.where(senid_flat[None, None, :] & 1,
+                           packed >> 4, packed & 0x0F)
+            mixw_s = am.mixw_cb[dcw].astype(np.int64)   # [F, D, S]
+        else:
+            mixw_s = am.mixw[:, :, senid_flat].astype(np.int64)
+        F, D = mixw_s.shape[0], mixw_s.shape[1]
+        Cu = len(used_cb)
+        # wsel[f, c*D+d, s] = mixw_s[f, d, s] iff graph state s uses
+        # codebook row c: one [T, Cu*D] one-hot matmul then yields the
+        # per-state mixture weight mw[t, s] on the MXU.  bf16 entries
+        # are integers <= 255, exactly representable; accumulation f32.
+        wsel = np.zeros((F, Cu * D, S), np.float32)
+        rows = cb_pos[None, :] * D + np.arange(D)[:, None]   # [D, S]
+        wsel[:, rows, np.arange(S)[None, :]] = mixw_s
+        mm_dtype = (jnp.bfloat16 if jax.default_backend() not in ("cpu",)
+                    else jnp.float32)
+        return cls(
+            means=jnp.asarray(np.asarray(am.means)[used_cb]),
+            var_t=jnp.asarray(np.asarray(am.var_t)[used_cb]),
+            det=jnp.asarray(np.asarray(am.det)[used_cb]),
+            wsel=jnp.asarray(wsel, dtype=mm_dtype),
+            cb_pos=jnp.asarray(cb_pos),
+            table_thresh=tables.table_thresh,
+            max_topn=tables.max_topn,
+        )
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _dist_stage_graph(gs: GraphScorer, feats, dist_mode: str = "fold"):
+    """feats [T, F, L] -> int32 distances [T, Cu, F, D] over used
+    codebooks (same arithmetic as _dist_stage on the full table)."""
+    if dist_mode == "mxu":
+        mu_v = gs.means * gs.var_t
+        c = jnp.sum(gs.means * mu_v, axis=-1)
+        xv = jnp.einsum("tfl,cfdl->tcfd", feats * feats, gs.var_t,
+                        preferred_element_type=jnp.float32)
+        xmv = jnp.einsum("tfl,cfdl->tcfd", feats, mu_v,
+                         preferred_element_type=jnp.float32)
+        d = gs.det[None] - c[None] - xv + 2.0 * xmv
+    else:
+        L = gs.means.shape[-1]
+        shape = (feats.shape[0],) + gs.det.shape
+        d = jnp.broadcast_to(gs.det[None], shape).astype(jnp.float32)
+        for i in range(L):
+            diff = feats[:, None, :, None, i] - gs.means[None, :, :, :, i]
+            d = d - (diff * diff) * gs.var_t[None, :, :, :, i]
+    return _int_dist(d)
+
+
+@jax.jit
+def _topn_sen_stage_graph(gs: GraphScorer, di):
+    """int32 distances [T, Cu, F, D] -> graph-state senone scores
+    int32 [T, S] (top-N + codebook_norm + senone_eval, restricted)."""
+    topn_scores, topn_cw = _topn_argmax(di, gs.max_topn)
+    shifted = topn_scores >> SENSCR_SHIFT
+    norm = jnp.max(shifted[..., 0], axis=1, keepdims=True)
+    s = jnp.minimum(-(shifted - norm[..., None]), MAX_NEG_ASCR)
+    T, Cu, F, N = s.shape
+    D = di.shape[-1]
+    mm_dtype = gs.wsel.dtype
+    ascore = None
+    for f in range(F):
+        fden = None
+        for j in range(N):
+            oh = jax.nn.one_hot(topn_cw[:, :, f, j], D, dtype=mm_dtype)
+            mw = jnp.dot(oh.reshape(T, Cu * D), gs.wsel[f],
+                         preferred_element_type=jnp.float32)
+            mw = mw.astype(jnp.int32)                     # [T, S]
+            term = mw + s[:, :, f, j][:, gs.cb_pos]       # [T, S]
+            if fden is None:
+                fden = term
+            else:
+                fden = _fast_logadd(fden, term, gs.table_thresh)
+        ascore = fden if ascore is None else ascore + fden
+    return ascore
+
+
+def score_frames_graph(gs: GraphScorer, feats, dist_mode: str = "fold"):
+    """feats [T, F, L] float32 -> int32 graph-state scores [T, S].
+
+    Same two-dispatch staging rationale as score_frames.  Scores are
+    NOT shifted to 0=best per frame: the per-frame best is a constant
+    shift that cancels in the Viterbi argmax, and skipping it avoids
+    a full [T, S] reduction.  Magnitudes stay small (<= F * ~1120), so
+    the scan's renormalization (state_align_search.c:193-197 rule)
+    triggers no more than once per ~1000 frames.
+    """
+    di = _dist_stage_graph(gs, feats, dist_mode)
+    return _topn_sen_stage_graph(gs, di)
