@@ -300,4 +300,45 @@ void sst_fe_process_batch(void* h, const int16_t* audio, int B, int64_t N,
   for (auto& t : ts) t.join();
 }
 
+// Batch MFCC quantized for the wire: cepstra are rounded to
+// round(c * scale) int16 and emitted as SEPARATE low/high byte planes
+// (out [2, B, Tmax, ncep] uint8, plane 0 = low bytes).  The TPU-tunnel
+// transport compresses transfers, and the nearly-constant high-byte
+// plane compresses ~3x better than raw f32 cepstra; the device
+// reassembles (hi << 8 | lo) / scale, which is exact for power-of-two
+// scales.  Quantization (default 1/256 resolution) is the only loss.
+void sst_fe_process_batch_i16p(void* h, const int16_t* audio, int B,
+                               int64_t N, const int32_t* n_samps, int Tmax,
+                               uint8_t* out, float scale, int nthreads) {
+  const FeState& st = *(FeState*)h;
+  if (nthreads <= 0) {
+    nthreads = (int)std::thread::hardware_concurrency();
+    if (nthreads <= 0) nthreads = 1;
+  }
+  if (nthreads > B) nthreads = B;
+  const size_t plane = (size_t)B * Tmax * st.ncep;
+  auto work = [&](int tid) {
+    std::vector<float> cep((size_t)Tmax * st.ncep);
+    for (int b = tid; b < B; b += nthreads) {
+      process_utt(st, audio + (size_t)b * N, n_samps[b], Tmax, cep.data());
+      uint8_t* lo = out + (size_t)b * Tmax * st.ncep;
+      uint8_t* hi = lo + plane;
+      for (size_t i = 0; i < (size_t)Tmax * st.ncep; i++) {
+        long v = lrintf(cep[i] * scale);
+        if (v > 32767) v = 32767;
+        if (v < -32768) v = -32768;
+        lo[i] = (uint8_t)(v & 0xFF);
+        hi[i] = (uint8_t)((v >> 8) & 0xFF);
+      }
+    }
+  };
+  if (nthreads == 1) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; t++) ts.emplace_back(work, t);
+  for (auto& t : ts) t.join();
+}
+
 }  // extern "C"

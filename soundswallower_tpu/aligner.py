@@ -86,6 +86,15 @@ class TpuAligner:
         if os.environ.get("SST_FE", "host") != "device":
             from .fe.native_fe import NativeFrontend
             self.native_fe = NativeFrontend.load(self.fe)
+        # Wire format for host-FE cepstra.  The tunnel transport
+        # compresses transfers, so wire cost tracks entropy, not bytes:
+        # "i16p" ships round(cep*256) int16 as separate byte planes
+        # (~3x faster than raw f32 on the measured link; 1/256 cepstral
+        # quantization is the only loss and is far below the model's
+        # own mixw/score quantization).  SST_WIRE=f32 restores the
+        # exact-wire path.
+        self.wire = os.environ.get("SST_WIRE", "i16p")
+        self.wire_scale = float(os.environ.get("SST_WIRE_SCALE", "256"))
 
     # -- graph -------------------------------------------------------------
 
@@ -111,6 +120,14 @@ class TpuAligner:
         audio = np.asarray(audio)
         if audio.dtype != np.int16:
             raise TypeError("align expects int16 audio")
+        if self.native_fe is not None:
+            # Route through the batch pipeline so single and batched
+            # alignment share one code path (and one wire format).
+            out = self._align_batch_same(
+                [audio], self.graph_for_text(text), dist_mode)[0]
+            if out is None:
+                raise RuntimeError("Alignment failed to reach final state")
+            return out
         n = len(audio)
         T = self.fe.n_frames(n)
         # Pad the frame axis to a bucket so recompiles only happen per
@@ -232,23 +249,26 @@ class TpuAligner:
                     out.append(None)  # per-utterance failure flag
             return out
         g = self.graph_for_text(texts[0])
+        return self._align_batch_same(audios, g, dist_mode)
+
+    def _align_batch_same(self, audios, g: AlignGraph, dist_mode: str):
+        """Shared-graph batch alignment (also the single-utterance path
+        when the native host FE is available)."""
         ns = np.array([len(a) for a in audios])
         Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
         N = int(ns.max())
         Tmax = max(64, -(-int(Ts.max()) // 64) * 64)
-        # Ship int16 over the wire (the tunnel's h2d bandwidth is the
-        # single largest cost at these shapes); cast on device.
         buf = np.zeros((len(audios), N), np.int16)
         for i, a in enumerate(audios):
             buf[i, : len(a)] = a
         # Chunk the batch and upload PER CHUNK: device_put is async, so
         # chunk i+1's host->device transfer rides along chunk i's compute
-        # (on a remote-tunnel TPU the upload alone is ~40 MB/s and would
-        # otherwise serialize ahead of all compute).  Dispatches are
-        # async too; all results come back in one d2h wave at the end.
-        # With the native host FE, each chunk uploads [chunk, Tmax, 13]
-        # f32 cepstra instead of raw audio, and chunk i+1's host FE runs
-        # while chunk i computes on device.
+        # (on a remote-tunnel TPU the upload would otherwise serialize
+        # ahead of all compute).  Dispatches are async too; all results
+        # come back in one d2h wave at the end.  With the native host
+        # FE, each chunk uploads [chunk, Tmax, 13] wire-coded cepstra
+        # instead of raw audio, and chunk i+1's host FE runs while
+        # chunk i computes on device.
         paths, final_sc = self._batch_pipeline(g, buf, ns, Ts, Tmax,
                                                dist_mode)
         return [
@@ -271,7 +291,13 @@ class TpuAligner:
         sen_chunks = []
         for i0 in range(0, B, chunk):
             Ts_d = jax.device_put(Ts[i0:i0 + chunk])
-            if self.native_fe is not None:
+            if self.native_fe is not None and self.wire == "i16p":
+                pl = self.native_fe.process_batch_i16p(
+                    buf[i0:i0 + chunk], ns[i0:i0 + chunk], Tmax,
+                    self.wire_scale)
+                sen_g = self._score_chunk_planes(
+                    g, jax.device_put(pl), Ts_d, Tmax, dist_mode)
+            elif self.native_fe is not None:
                 cep = self.native_fe.process_batch(
                     buf[i0:i0 + chunk], ns[i0:i0 + chunk], Tmax)
                 sen_g = self._score_chunk_cep(g, jax.device_put(cep), Ts_d,
@@ -351,6 +377,13 @@ class TpuAligner:
         audio = np.asarray(audio)
         if audio.dtype != np.int16:
             raise TypeError("decode expects int16 audio")
+        if self.native_fe is not None:
+            # Share the batch pipeline (and wire format) with
+            # decode_batch so single and batched decode agree exactly.
+            res = self.decode_batch([audio], dist_mode)[0]
+            if res is None:
+                raise RuntimeError("Decode failed to reach final state")
+            return res
         n = len(audio)
         T = self.fe.n_frames(n)
         Tpad = max(128, -(-T // 128) * 128)
@@ -535,6 +568,29 @@ class TpuAligner:
         if fj is None:
             fj = self._feat_batch_jit[key] = jax.jit(jax.vmap(feat_one))
         feats = fj(cep, Ts)                             # [B,T,F,L]
+        return self._score_graph_batch(g, feats, Tmax, dist_mode)
+
+    def _score_chunk_planes(self, g: AlignGraph, pl, Ts, Tmax: int,
+                            dist_mode: str):
+        """Chunk scoring from wire-quantized byte-plane cepstra (see
+        NativeFrontend.process_batch_i16p): pl uint8 [2, B, Tmax, ncep].
+        Dequant (hi << 8 | lo) / scale is folded into the feat jit;
+        exact for power-of-two scales."""
+        cmn = self.config["cmn"]
+        inv = np.float32(1.0 / self.wire_scale)
+
+        def feat_one(lo, hi, T):
+            v = (hi.astype(jnp.int8).astype(jnp.int32) << 8) \
+                | lo.astype(jnp.int32)
+            return feats_full_utt(v.astype(jnp.float32) * inv, T, cmn)
+
+        if not hasattr(self, "_featp_batch_jit"):
+            self._featp_batch_jit = {}
+        key = (pl.shape, cmn)
+        fj = self._featp_batch_jit.get(key)
+        if fj is None:
+            fj = self._featp_batch_jit[key] = jax.jit(jax.vmap(feat_one))
+        feats = fj(pl[0], pl[1], Ts)                    # [B,T,F,L]
         return self._score_graph_batch(g, feats, Tmax, dist_mode)
 
     def _graph_consts(self, g: AlignGraph):

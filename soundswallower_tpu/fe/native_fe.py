@@ -56,6 +56,11 @@ def _lib():
         c.c_void_p, c.POINTER(c.c_int16), c.c_int, c.c_int64,
         c.POINTER(c.c_int32), c.c_int, c.POINTER(c.c_float), c.c_int,
     ]
+    lib.sst_fe_process_batch_i16p.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int16), c.c_int, c.c_int64,
+        c.POINTER(c.c_int32), c.c_int, c.POINTER(c.c_uint8), c.c_float,
+        c.c_int,
+    ]
     _LIB = lib
     return lib
 
@@ -137,4 +142,25 @@ class NativeFrontend:
             self._h, _ptr(audio, ctypes.c_int16), B, N,
             _ptr(ns, ctypes.c_int32), Tmax, _ptr(out, ctypes.c_float),
             nthreads)
+        return out
+
+    def process_batch_i16p(self, audio: np.ndarray, n_samps: np.ndarray,
+                           Tmax: int, scale: float = 256.0,
+                           nthreads: int = 0) -> np.ndarray:
+        """Wire-quantized batch MFCC: uint8 [2, B, Tmax, ncep] byte
+        planes of round(cep * scale) int16 (plane 0 = low byte).  The
+        low-entropy high-byte plane makes the tunnel transport's
+        compression ~3x more effective than raw f32 cepstra; dequant
+        (hi << 8 | lo) / scale on device is exact for power-of-two
+        scales."""
+        audio = np.ascontiguousarray(audio, np.int16)
+        if audio.ndim != 2:
+            raise ValueError("audio must be [B, N] int16")
+        B, N = audio.shape
+        ns = np.ascontiguousarray(n_samps, np.int32)
+        out = np.empty((2, B, Tmax, self.ncep), np.uint8)
+        self._lib.sst_fe_process_batch_i16p(
+            self._h, _ptr(audio, ctypes.c_int16), B, N,
+            _ptr(ns, ctypes.c_int32), Tmax, _ptr(out, ctypes.c_uint8),
+            float(scale), nthreads)
         return out
