@@ -134,6 +134,160 @@ void remove_noise_frame(const FeState& st, double* mfs, NoiseState& ns) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// 8-lane (AVX-512 f64) variant: one vector lane per UTTERANCE, identical
+// IEEE op sequence per lane as the scalar path above, so each lane's
+// output is bit-identical to a scalar run of that utterance.  Only the
+// pure-arithmetic stages (framing, window, FFT, magnitude, mel fold) are
+// vectorized; the branchy noise recurrence and the transcendental
+// log/DCT tail run as per-lane scalar loops over the [i][8] layout
+// (they are ~15% of the frame cost).
+// ---------------------------------------------------------------------------
+
+typedef double vd __attribute__((vector_size(64), aligned(64)));
+constexpr int LANES = 8;
+
+void fft_real_x8(const FeState& st, vd* x, vd* tmp) {
+  const int n = st.nfft, m = st.m;
+  for (int i = 0; i < n; i++) tmp[i] = x[st.perm[i]];
+  std::memcpy(x, tmp, (size_t)n * sizeof(vd));
+  for (int i = 0; i < n; i += 2) {
+    vd e = x[i], o = x[i + 1];
+    x[i] = e + o;
+    x[i + 1] = e - o;
+  }
+  for (int k = 1; k < m; k++) {
+    const int n4 = 1 << (k - 1), n2 = 1 << k, n1 = 1 << (k + 1);
+    for (int blk = 0; blk < n; blk += n1) {
+      vd xa = x[blk], xb = x[blk + n2];
+      x[blk] = xa + xb;
+      x[blk + n2] = xa - xb;
+      x[blk + n2 + n4] = -x[blk + n2 + n4];
+      for (int j = 1; j < n4; j++) {
+        const int i1 = blk + j;
+        const int i2 = blk + n2 - j;
+        const int i3 = blk + n2 + j;
+        const int i4 = blk + n2 + n2 - j;
+        const int tw = j << (m - (k + 1));
+        const double cc = st.ccc[tw], ss = st.sss[tw];
+        const vd x1 = x[i1], x2 = x[i2], x3 = x[i3], x4 = x[i4];
+        const vd t1 = x3 * cc + x4 * ss;
+        const vd t2 = x3 * ss - x4 * cc;
+        x[i4] = x2 - t2;
+        x[i3] = -x2 - t2;
+        x[i2] = x1 - t1;
+        x[i1] = x1 + t1;
+      }
+    }
+  }
+}
+
+// 8 utterances in lockstep.  audio[l] may be null (inactive lane).
+void process_utt_x8(const FeState& st, const int16_t* audio[LANES],
+                    const int32_t n_samps[LANES], int Tmax,
+                    float* out[LANES]) {
+  const int shift = st.frame_shift, size = st.frame_size;
+  int nfr[LANES], nfr_max = 0;
+  for (int l = 0; l < LANES; l++) {
+    const int ns_l = audio[l] ? n_samps[l] : 0;
+    int f;
+    if (ns_l <= 0)
+      f = 0;
+    else if (ns_l < size)
+      f = 1;
+    else {
+      const int nfull = 1 + (ns_l - size) / shift;
+      f = nfull + (ns_l - nfull * shift > 0 ? 1 : 0);
+    }
+    if (f > Tmax) f = Tmax;
+    nfr[l] = f;
+    if (f > nfr_max) nfr_max = f;
+    if (out[l])
+      std::memset(out[l], 0, (size_t)Tmax * st.ncep * sizeof(float));
+  }
+  const int n = st.nfft, half = n / 2, nfilt = st.nfilt;
+  std::vector<vd> frame(n), tmp(n), spec(half + 1);
+  std::vector<double> mfs(nfilt * LANES), logspec(nfilt * LANES);
+  std::vector<double> mf1v(nfilt);
+  std::vector<NoiseState> ns;
+  ns.reserve(LANES);
+  for (int l = 0; l < LANES; l++) ns.emplace_back(nfilt);
+  for (int f = 0; f < nfr_max; f++) {
+    const int64_t s0 = (int64_t)f * shift;
+    for (int j = 0; j < size; j++) {
+      const int64_t idx = s0 + j;
+      vd v = {};
+      for (int l = 0; l < LANES; l++) {
+        if (audio[l] && idx < n_samps[l]) {
+          const double cur = (double)(float)audio[l][idx];
+          const double prv =
+              idx > 0 ? (double)(float)audio[l][idx - 1] : 0.0;
+          v[l] = cur - prv * st.alpha;
+        }
+      }
+      frame[j] = v;
+    }
+    if (st.remove_dc) {
+      vd sum = {};
+      for (int j = 0; j < size; j++) sum += frame[j];
+      const vd mean = sum / (double)size;
+      for (int j = 0; j < size; j++) frame[j] -= mean;
+    }
+    for (int j = 0; j < size; j++) frame[j] *= st.window[j];
+    for (int j = size; j < n; j++) frame[j] = vd{};
+    fft_real_x8(st, frame.data(), tmp.data());
+    spec[0] = frame[0] * frame[0];
+    for (int j = 1; j <= half; j++)
+      spec[j] = frame[j] * frame[j] + frame[n - j] * frame[n - j];
+    for (int i = 0; i < nfilt; i++) {
+      const int start = st.spec_start[i], w = st.widths[i];
+      vd acc = {};
+      for (int j = 0; j < w; j++)
+        acc += spec[start + j] * (double)st.coeff[i * st.maxw + j];
+      for (int l = 0; l < LANES; l++) mfs[i * LANES + l] = acc[l];
+    }
+    // per-lane scalar tail (noise recurrence + log + DCT + lifter)
+    for (int l = 0; l < LANES; l++) {
+      if (f >= nfr[l]) continue;
+      double* mf1 = mf1v.data();
+      for (int i = 0; i < nfilt; i++) mf1[i] = mfs[i * LANES + l];
+      if (st.remove_noise) remove_noise_frame(st, mf1, ns[l]);
+      double* ls = &logspec[l * nfilt];
+      for (int i = 0; i < nfilt; i++) ls[i] = std::log(mf1[i] + 1e-4);
+      float* o = out[l] + (size_t)f * st.ncep;
+      const float* mc = st.mel_cosine.data();
+      if (st.transform == 1 || st.transform == 2) {
+        float acc = (float)ls[0];
+        for (int j = 1; j < nfilt; j++) acc = (float)((double)acc + ls[j]);
+        const float scale =
+            st.transform == 2 ? st.sqrt_inv_2n : st.sqrt_inv_n;
+        o[0] = acc * scale;
+        for (int i = 1; i < st.ncep; i++) {
+          float a = 0.0f;
+          for (int j = 0; j < nfilt; j++)
+            a = (float)((double)a + ls[j] * (double)mc[i * nfilt + j]);
+          o[i] = a * st.sqrt_inv_2n;
+        }
+      } else {
+        float acc = (float)(ls[0] / 2);
+        for (int j = 1; j < nfilt; j++) acc = (float)((double)acc + ls[j]);
+        o[0] = (float)((double)acc / (double)nfilt);
+        for (int i = 1; i < st.ncep; i++) {
+          float a = 0.0f;
+          for (int j = 0; j < nfilt; j++) {
+            const double beta = j == 0 ? 1.0 : 2.0;
+            a = (float)((double)a +
+                        ls[j] * (double)mc[i * nfilt + j] * beta);
+          }
+          o[i] = (float)((double)a / ((double)nfilt * 2));
+        }
+      }
+      if (!st.lifter.empty())
+        for (int i = 0; i < st.ncep; i++) o[i] = o[i] * st.lifter[i];
+    }
+  }
+}
+
 // One frame: pre-emphasized samples -> ncep float32 cepstra.
 void frame_to_cep(const FeState& st, double* frame /*[nfft]*/,
                   NoiseState& ns, float* out) {
@@ -285,11 +439,40 @@ void sst_fe_process_batch(void* h, const int16_t* audio, int B, int64_t N,
     nthreads = (int)std::thread::hardware_concurrency();
     if (nthreads <= 0) nthreads = 1;
   }
-  if (nthreads > B) nthreads = B;
+  if (getenv("SST_FE_SCALAR")) {   // reference path for x8 parity tests
+    if (nthreads > B) nthreads = B;
+    auto work_s = [&](int tid) {
+      for (int b = tid; b < B; b += nthreads)
+        process_utt(st, audio + (size_t)b * N, n_samps[b], Tmax,
+                    out + (size_t)b * Tmax * st.ncep);
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < nthreads; t++) ts.emplace_back(work_s, t);
+    work_s(0);
+    for (auto& t : ts) t.join();
+    return;
+  }
+  const int ngroups = (B + LANES - 1) / LANES;
+  if (nthreads > ngroups) nthreads = ngroups;
   auto work = [&](int tid) {
-    for (int b = tid; b < B; b += nthreads)
-      process_utt(st, audio + (size_t)b * N, n_samps[b], Tmax,
-                  out + (size_t)b * Tmax * st.ncep);
+    for (int gi = tid; gi < ngroups; gi += nthreads) {
+      const int16_t* aptr[LANES];
+      int32_t nsl[LANES];
+      float* optr[LANES];
+      for (int l = 0; l < LANES; l++) {
+        const int b = gi * LANES + l;
+        if (b < B) {
+          aptr[l] = audio + (size_t)b * N;
+          nsl[l] = n_samps[b];
+          optr[l] = out + (size_t)b * Tmax * st.ncep;
+        } else {
+          aptr[l] = nullptr;
+          nsl[l] = 0;
+          optr[l] = nullptr;
+        }
+      }
+      process_utt_x8(st, aptr, nsl, Tmax, optr);
+    }
   };
   if (nthreads == 1) {
     work(0);
@@ -315,20 +498,42 @@ void sst_fe_process_batch_i16p(void* h, const int16_t* audio, int B,
     nthreads = (int)std::thread::hardware_concurrency();
     if (nthreads <= 0) nthreads = 1;
   }
-  if (nthreads > B) nthreads = B;
+  const int ngroups = (B + LANES - 1) / LANES;
+  if (nthreads > ngroups) nthreads = ngroups;
   const size_t plane = (size_t)B * Tmax * st.ncep;
+  const size_t per_utt = (size_t)Tmax * st.ncep;
   auto work = [&](int tid) {
-    std::vector<float> cep((size_t)Tmax * st.ncep);
-    for (int b = tid; b < B; b += nthreads) {
-      process_utt(st, audio + (size_t)b * N, n_samps[b], Tmax, cep.data());
-      uint8_t* lo = out + (size_t)b * Tmax * st.ncep;
-      uint8_t* hi = lo + plane;
-      for (size_t i = 0; i < (size_t)Tmax * st.ncep; i++) {
-        long v = lrintf(cep[i] * scale);
-        if (v > 32767) v = 32767;
-        if (v < -32768) v = -32768;
-        lo[i] = (uint8_t)(v & 0xFF);
-        hi[i] = (uint8_t)((v >> 8) & 0xFF);
+    std::vector<float> cep(per_utt * LANES);
+    for (int gi = tid; gi < ngroups; gi += nthreads) {
+      const int16_t* aptr[LANES];
+      int32_t nsl[LANES];
+      float* optr[LANES];
+      for (int l = 0; l < LANES; l++) {
+        const int b = gi * LANES + l;
+        if (b < B) {
+          aptr[l] = audio + (size_t)b * N;
+          nsl[l] = n_samps[b];
+          optr[l] = cep.data() + per_utt * l;
+        } else {
+          aptr[l] = nullptr;
+          nsl[l] = 0;
+          optr[l] = nullptr;
+        }
+      }
+      process_utt_x8(st, aptr, nsl, Tmax, optr);
+      for (int l = 0; l < LANES; l++) {
+        const int b = gi * LANES + l;
+        if (b >= B) break;
+        const float* c = cep.data() + per_utt * l;
+        uint8_t* lo = out + (size_t)b * per_utt;
+        uint8_t* hi = lo + plane;
+        for (size_t i = 0; i < per_utt; i++) {
+          long v = lrintf(c[i] * scale);
+          if (v > 32767) v = 32767;
+          if (v < -32768) v = -32768;
+          lo[i] = (uint8_t)(v & 0xFF);
+          hi[i] = (uint8_t)((v >> 8) & 0xFF);
+        }
       }
     }
   };
