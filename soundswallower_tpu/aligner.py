@@ -269,15 +269,49 @@ class TpuAligner:
         # FE, each chunk uploads [chunk, Tmax, 13] wire-coded cepstra
         # instead of raw audio, and chunk i+1's host FE runs while
         # chunk i computes on device.
-        paths, final_sc = self._batch_pipeline(g, buf, ns, Ts, Tmax,
-                                               dist_mode)
+        return self._batch_end(self._batch_begin(g, buf, ns, Ts, Tmax,
+                                                 dist_mode))
+
+    # -- pipelined batch API ------------------------------------------------
+    #
+    # align_batch == align_batch_end(align_batch_begin(...)).  Splitting
+    # the two lets a caller overlap batch k+1's host FE + h2d upload with
+    # batch k's device compute + d2h download (the steady-state serving
+    # pattern; serve.py and bench.py use it).  begin() does all host-side
+    # work and *dispatches* everything (dispatch is async on this
+    # platform); end() fetches the decoded paths and extracts segments.
+
+    def align_batch_begin(self, audios: list[np.ndarray], texts: list[str],
+                          dist_mode: str = "fold"):
+        """Dispatch one same-transcript batch; returns a handle for
+        align_batch_end.  All transcripts must be equal."""
+        if len(set(texts)) != 1:
+            raise ValueError("align_batch_begin needs one shared transcript")
+        g = self.graph_for_text(texts[0])
+        ns = np.array([len(a) for a in audios])
+        Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
+        N = int(ns.max())
+        Tmax = max(64, -(-int(Ts.max()) // 64) * 64)
+        buf = np.zeros((len(audios), N), np.int16)
+        for i, a in enumerate(audios):
+            buf[i, : len(a)] = a
+        return self._batch_begin(g, buf, ns, Ts, Tmax, dist_mode)
+
+    def align_batch_end(self, handle) -> list[list[WordSeg]]:
+        """Fetch + extract the results of an align_batch_begin batch."""
+        return self._batch_end(handle)
+
+    def _batch_end(self, handle):
+        g, Ts, paths_d, final_d = handle
+        paths = np.asarray(paths_d)
+        final_sc = np.asarray(final_d)
         return [
             self._extract_safe(g, paths[i], int(Ts[i]), int(final_sc[i]))
-            for i in range(len(audios))
+            for i in range(len(paths))
         ]
 
-    def _batch_pipeline(self, g: AlignGraph, buf, ns, Ts, Tmax: int,
-                        dist_mode: str):
+    def _batch_begin(self, g: AlignGraph, buf, ns, Ts, Tmax: int,
+                     dist_mode: str):
         """Shared chunk-pipelined batch path: per chunk, host FE (or
         device FE) -> upload -> dynamic features -> dense senone scoring
         with the [n_sen]->[S] graph gather folded in; then ONE whole-batch
@@ -314,7 +348,7 @@ class TpuAligner:
                                          jax.device_put(Ts.astype(np.int32)))
         paths.copy_to_host_async()
         final_sc.copy_to_host_async()
-        return np.asarray(paths), np.asarray(final_sc)
+        return (g, Ts, paths, final_sc)
 
     def _extract_safe(self, g, path, T, final_score):
         """Per-utterance failure isolation (SURVEY §5: an unreachable
@@ -415,8 +449,9 @@ class TpuAligner:
         for i, a in enumerate(audios):
             buf[i, : len(a)] = a
         B = len(audios)
-        paths, _final_sc = self._batch_pipeline(g, buf, ns, Ts, Tmax,
-                                                dist_mode)
+        _, _, paths_d, _final_d = self._batch_begin(g, buf, ns, Ts, Tmax,
+                                                    dist_mode)
+        paths = np.asarray(paths_d)
         results = []
         for i in range(B):
             try:
