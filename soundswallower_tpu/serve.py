@@ -48,6 +48,7 @@ class AlignService:
         self.max_wait = max_wait_ms / 1000.0
         self._q: queue.Queue = queue.Queue()
         self._stop = False
+        self._finisher = None   # tail of the in-order end() chain
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -63,6 +64,9 @@ class AlignService:
         self._stop = True
         self._q.put(None)
         self._worker.join(timeout=5)
+        fin = self._finisher
+        if fin is not None:
+            fin.join(timeout=5)
 
     # -- batching worker -----------------------------------------------------
 
@@ -87,19 +91,51 @@ class AlignService:
             audios = [b[0] for b in batch]
             texts = [b[1] for b in batch]
             try:
-                results = self.aligner.align_batch(audios, texts)
-                for (_, _, fut), segs in zip(batch, results):
-                    if segs is None:
-                        fut.set_exception(RuntimeError(
-                            "alignment failed (unreachable final state "
-                            "or unknown word)"))
-                    else:
-                        fut.set_result(segs)
+                # Same-transcript batches go through the pipelined
+                # begin/end split so the NEXT batch's host FE + upload
+                # can overlap this one's device compute: the finisher
+                # thread runs end() while this worker loops back to
+                # collect and begin() the next batch.
+                if len(set(texts)) == 1:
+                    handle = self.aligner.align_batch_begin(audios, texts)
+                    self._finish(handle, batch)
+                else:
+                    results = self.aligner.align_batch(audios, texts)
+                    self._resolve(results, batch)
             except Exception as e:  # per-request isolation
                 LOG.exception("batch of %d failed", len(batch))
                 for _, _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
+
+    def _finish(self, handle, batch):
+        """Resolve a dispatched batch on the finisher thread (keeps the
+        batching worker free to begin the next batch)."""
+        def run():
+            try:
+                self._resolve(self.aligner.align_batch_end(handle), batch)
+            except Exception as e:
+                LOG.exception("batch of %d failed", len(batch))
+                for _, _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+        prev = self._finisher
+        def chained():
+            if prev is not None:
+                prev.join()
+            run()
+        t = threading.Thread(target=chained, daemon=True)
+        self._finisher = t
+        t.start()
+
+    def _resolve(self, results, batch):
+        for (_, _, fut), segs in zip(batch, results):
+            if segs is None:
+                fut.set_exception(RuntimeError(
+                    "alignment failed (unreachable final state "
+                    "or unknown word)"))
+            else:
+                fut.set_result(segs)
 
 
 def segs_to_json(segs, frate: int = 100) -> dict:

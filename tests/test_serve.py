@@ -91,19 +91,19 @@ def test_align_bad_requests(server):
 
 
 def test_batcher_coalesces(server):
-    """Concurrent same-transcript requests must run as ONE align_batch
-    dispatch (the vectorized path), not serial singles."""
+    """Concurrent same-transcript requests must run as ONE pipelined
+    batch dispatch (align_batch_begin), not serial singles."""
     srv, al = server
     port = srv.server_address[1]
     raw = np.fromfile("/root/reference/tests/data/goforward.raw", np.int16)
     calls = []
-    orig = al.align_batch
+    orig = al.align_batch_begin
 
     def spy(audios, texts, *a, **kw):
         calls.append(len(audios))
         return orig(audios, texts, *a, **kw)
 
-    al.align_batch = spy
+    al.align_batch_begin = spy
     try:
         results = [None] * 4
         def hit(i):
@@ -116,6 +116,6 @@ def test_batcher_coalesces(server):
         for t in threads:
             t.join()
     finally:
-        al.align_batch = orig
+        al.align_batch_begin = orig
     assert all(r[0] == 200 for r in results)
     assert max(calls) >= 2, f"no batching happened: {calls}"
