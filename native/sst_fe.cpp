@@ -145,7 +145,62 @@ void remove_noise_frame(const FeState& st, double* mfs, NoiseState& ns) {
 // ---------------------------------------------------------------------------
 
 typedef double vd __attribute__((vector_size(64), aligned(64)));
+typedef float vf __attribute__((vector_size(32), aligned(32)));
+typedef long long vl __attribute__((vector_size(64), aligned(64)));
 constexpr int LANES = 8;
+
+inline vd vsel(vl c, vd a, vd b) { return c ? a : b; }
+
+// 8-lane noise recurrence: identical per-lane arithmetic to
+// remove_noise_frame (branches become blends, which preserve the exact
+// selected values).  mfs/state arrays are [nfilt] of vd.
+struct NoiseStateX8 {
+  std::vector<vd> power, noise, floorv, peak;
+  bool undef = true;
+  explicit NoiseStateX8(int nfilt)
+      : power(nfilt), noise(nfilt), floorv(nfilt), peak(nfilt) {}
+};
+
+void remove_noise_frame_x8(const FeState& st, vd* mfs, NoiseStateX8& ns,
+                           vd* gain /*[nfilt] scratch*/) {
+  const double lambda_power = 0.7, lambda_a = 0.995, lambda_b = 0.5;
+  const double lambda_t = 0.85, mu_t = 0.2, max_gain = 20.0;
+  const int smooth_window = 4, nf = st.nfilt;
+  for (int i = 0; i < nf; i++) {
+    vd power = ns.undef ? mfs[i] : ns.power[i];
+    vd noise = ns.undef ? mfs[i] / max_gain : ns.noise[i];
+    vd fl = ns.undef ? mfs[i] / max_gain : ns.floorv[i];
+    vd peak = ns.undef ? vd{} : ns.peak[i];
+    power = lambda_power * power + (1 - lambda_power) * mfs[i];
+    noise = vsel(power >= noise,
+                 lambda_a * noise + (1 - lambda_a) * power,
+                 lambda_b * noise + (1 - lambda_b) * power);
+    vd sig = power - noise;
+    sig = vsel(sig > 1.0, sig, vd{} + 1.0);
+    const vd cur_in = sig;
+    fl = vsel(sig >= fl, lambda_a * fl + (1 - lambda_a) * sig,
+              lambda_b * fl + (1 - lambda_b) * sig);
+    peak = peak * lambda_t;
+    sig = vsel(sig < lambda_t * peak, peak * mu_t, sig);
+    peak = vsel(cur_in > peak, cur_in, peak);
+    sig = vsel(sig > fl, sig, fl);
+    vd g = vsel(sig < max_gain * power, sig / power, vd{} + max_gain);
+    g = vsel(g > 1.0 / max_gain, g, vd{} + 1.0 / max_gain);
+    gain[i] = g;
+    ns.power[i] = power;
+    ns.noise[i] = noise;
+    ns.floorv[i] = fl;
+    ns.peak[i] = peak;
+  }
+  ns.undef = false;
+  for (int i = 0; i < nf; i++) {
+    const int l1 = i - smooth_window < 0 ? 0 : i - smooth_window;
+    const int l2 = i + smooth_window > nf - 1 ? nf - 1 : i + smooth_window;
+    vd coef = {};
+    for (int j = l1; j <= l2; j++) coef += gain[j];
+    mfs[i] = mfs[i] * (coef / (double)(l2 - l1 + 1));
+  }
+}
 
 void fft_real_x8(const FeState& st, vd* x, vd* tmp) {
   const int n = st.nfft, m = st.m;
@@ -207,11 +262,9 @@ void process_utt_x8(const FeState& st, const int16_t* audio[LANES],
   }
   const int n = st.nfft, half = n / 2, nfilt = st.nfilt;
   std::vector<vd> frame(n), tmp(n), spec(half + 1);
-  std::vector<double> mfs(nfilt * LANES), logspec(nfilt * LANES);
-  std::vector<double> mf1v(nfilt);
-  std::vector<NoiseState> ns;
-  ns.reserve(LANES);
-  for (int l = 0; l < LANES; l++) ns.emplace_back(nfilt);
+  std::vector<vd> mfsv(nfilt), lsv(nfilt), gain(nfilt);
+  std::vector<vf> cep(st.ncep);
+  NoiseStateX8 ns(nfilt);
   for (int f = 0; f < nfr_max; f++) {
     const int64_t s0 = (int64_t)f * shift;
     for (int j = 0; j < size; j++) {
@@ -244,46 +297,56 @@ void process_utt_x8(const FeState& st, const int16_t* audio[LANES],
       vd acc = {};
       for (int j = 0; j < w; j++)
         acc += spec[start + j] * (double)st.coeff[i * st.maxw + j];
-      for (int l = 0; l < LANES; l++) mfs[i * LANES + l] = acc[l];
+      mfsv[i] = acc;
     }
-    // per-lane scalar tail (noise recurrence + log + DCT + lifter)
+    // vectorized noise recurrence; scalar per-lane libm log; DCT with
+    // per-step f32 rounding via __builtin_convertvector (identical
+    // per-lane rounding sequence to the scalar (float)((double)a + ...)
+    // folds)
+    if (st.remove_noise) remove_noise_frame_x8(st, mfsv.data(), ns,
+                                               gain.data());
+    for (int i = 0; i < nfilt; i++) {
+      vd v = mfsv[i] + 1e-4;
+      vd r;
+      for (int l = 0; l < LANES; l++) r[l] = std::log(v[l]);
+      lsv[i] = r;
+    }
+    const float* mc = st.mel_cosine.data();
+    const vd* ls = lsv.data();
+#define CVT(x, T) __builtin_convertvector(x, T)
+    if (st.transform == 1 || st.transform == 2) {
+      vf acc = CVT(ls[0], vf);
+      for (int j = 1; j < nfilt; j++) acc = CVT(CVT(acc, vd) + ls[j], vf);
+      const float scale = st.transform == 2 ? st.sqrt_inv_2n
+                                            : st.sqrt_inv_n;
+      cep[0] = acc * scale;
+      for (int i = 1; i < st.ncep; i++) {
+        vf a = {};
+        for (int j = 0; j < nfilt; j++)
+          a = CVT(CVT(a, vd) + ls[j] * (double)mc[i * nfilt + j], vf);
+        cep[i] = a * st.sqrt_inv_2n;
+      }
+    } else {
+      vf acc = CVT(ls[0] / 2, vf);
+      for (int j = 1; j < nfilt; j++) acc = CVT(CVT(acc, vd) + ls[j], vf);
+      cep[0] = CVT(CVT(acc, vd) / (double)nfilt, vf);
+      for (int i = 1; i < st.ncep; i++) {
+        vf a = {};
+        for (int j = 0; j < nfilt; j++) {
+          const double beta = j == 0 ? 1.0 : 2.0;
+          a = CVT(CVT(a, vd) + ls[j] * (double)mc[i * nfilt + j] * beta,
+                  vf);
+        }
+        cep[i] = CVT(CVT(a, vd) / ((double)nfilt * 2), vf);
+      }
+    }
+#undef CVT
+    if (!st.lifter.empty())
+      for (int i = 0; i < st.ncep; i++) cep[i] = cep[i] * st.lifter[i];
     for (int l = 0; l < LANES; l++) {
       if (f >= nfr[l]) continue;
-      double* mf1 = mf1v.data();
-      for (int i = 0; i < nfilt; i++) mf1[i] = mfs[i * LANES + l];
-      if (st.remove_noise) remove_noise_frame(st, mf1, ns[l]);
-      double* ls = &logspec[l * nfilt];
-      for (int i = 0; i < nfilt; i++) ls[i] = std::log(mf1[i] + 1e-4);
       float* o = out[l] + (size_t)f * st.ncep;
-      const float* mc = st.mel_cosine.data();
-      if (st.transform == 1 || st.transform == 2) {
-        float acc = (float)ls[0];
-        for (int j = 1; j < nfilt; j++) acc = (float)((double)acc + ls[j]);
-        const float scale =
-            st.transform == 2 ? st.sqrt_inv_2n : st.sqrt_inv_n;
-        o[0] = acc * scale;
-        for (int i = 1; i < st.ncep; i++) {
-          float a = 0.0f;
-          for (int j = 0; j < nfilt; j++)
-            a = (float)((double)a + ls[j] * (double)mc[i * nfilt + j]);
-          o[i] = a * st.sqrt_inv_2n;
-        }
-      } else {
-        float acc = (float)(ls[0] / 2);
-        for (int j = 1; j < nfilt; j++) acc = (float)((double)acc + ls[j]);
-        o[0] = (float)((double)acc / (double)nfilt);
-        for (int i = 1; i < st.ncep; i++) {
-          float a = 0.0f;
-          for (int j = 0; j < nfilt; j++) {
-            const double beta = j == 0 ? 1.0 : 2.0;
-            a = (float)((double)a +
-                        ls[j] * (double)mc[i * nfilt + j] * beta);
-          }
-          o[i] = (float)((double)a / ((double)nfilt * 2));
-        }
-      }
-      if (!st.lifter.empty())
-        for (int i = 0; i < st.ncep; i++) o[i] = o[i] * st.lifter[i];
+      for (int i = 0; i < st.ncep; i++) o[i] = cep[i][l];
     }
   }
 }
