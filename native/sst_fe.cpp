@@ -546,6 +546,65 @@ void sst_fe_process_batch(void* h, const int16_t* audio, int B, int64_t N,
   for (auto& t : ts) t.join();
 }
 
+// Pointer-array variant of the wire-quantized batch: rows come straight
+// from the caller's per-utterance buffers (no [B, N] padded copy).
+void sst_fe_process_batch_i16p_ptrs(void* h, const int16_t** audios,
+                                    const int32_t* n_samps, int B, int Tmax,
+                                    uint8_t* out, float scale,
+                                    int nthreads) {
+  const FeState& st = *(FeState*)h;
+  if (nthreads <= 0) {
+    nthreads = (int)std::thread::hardware_concurrency();
+    if (nthreads <= 0) nthreads = 1;
+  }
+  const int ngroups = (B + LANES - 1) / LANES;
+  if (nthreads > ngroups) nthreads = ngroups;
+  const size_t plane = (size_t)B * Tmax * st.ncep;
+  const size_t per_utt = (size_t)Tmax * st.ncep;
+  auto work = [&](int tid) {
+    std::vector<float> cep(per_utt * LANES);
+    for (int gi = tid; gi < ngroups; gi += nthreads) {
+      const int16_t* aptr[LANES];
+      int32_t nsl[LANES];
+      float* optr[LANES];
+      for (int l = 0; l < LANES; l++) {
+        const int b = gi * LANES + l;
+        if (b < B) {
+          aptr[l] = audios[b];
+          nsl[l] = n_samps[b];
+          optr[l] = cep.data() + per_utt * l;
+        } else {
+          aptr[l] = nullptr;
+          nsl[l] = 0;
+          optr[l] = nullptr;
+        }
+      }
+      process_utt_x8(st, aptr, nsl, Tmax, optr);
+      for (int l = 0; l < LANES; l++) {
+        const int b = gi * LANES + l;
+        if (b >= B) break;
+        const float* c = cep.data() + per_utt * l;
+        uint8_t* lo = out + (size_t)b * per_utt;
+        uint8_t* hi = lo + plane;
+        for (size_t i = 0; i < per_utt; i++) {
+          long v = lrintf(c[i] * scale);
+          if (v > 32767) v = 32767;
+          if (v < -32768) v = -32768;
+          lo[i] = (uint8_t)(v & 0xFF);
+          hi[i] = (uint8_t)((v >> 8) & 0xFF);
+        }
+      }
+    }
+  };
+  if (nthreads == 1) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; t++) ts.emplace_back(work, t);
+  for (auto& t : ts) t.join();
+}
+
 // Batch MFCC quantized for the wire: cepstra are rounded to
 // round(c * scale) int16 and emitted as SEPARATE low/high byte planes
 // (out [2, B, Tmax, ncep] uint8, plane 0 = low bytes).  The TPU-tunnel

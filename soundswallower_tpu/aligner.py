@@ -254,23 +254,7 @@ class TpuAligner:
     def _align_batch_same(self, audios, g: AlignGraph, dist_mode: str):
         """Shared-graph batch alignment (also the single-utterance path
         when the native host FE is available)."""
-        ns = np.array([len(a) for a in audios])
-        Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
-        N = int(ns.max())
-        Tmax = max(64, -(-int(Ts.max()) // 64) * 64)
-        buf = np.zeros((len(audios), N), np.int16)
-        for i, a in enumerate(audios):
-            buf[i, : len(a)] = a
-        # Chunk the batch and upload PER CHUNK: device_put is async, so
-        # chunk i+1's host->device transfer rides along chunk i's compute
-        # (on a remote-tunnel TPU the upload would otherwise serialize
-        # ahead of all compute).  Dispatches are async too; all results
-        # come back in one d2h wave at the end.  With the native host
-        # FE, each chunk uploads [chunk, Tmax, 13] wire-coded cepstra
-        # instead of raw audio, and chunk i+1's host FE runs while
-        # chunk i computes on device.
-        return self._batch_end(self._batch_begin(g, buf, ns, Ts, Tmax,
-                                                 dist_mode))
+        return self._batch_end(self._batch_begin(g, audios, dist_mode))
 
     # -- pipelined batch API ------------------------------------------------
     #
@@ -288,14 +272,7 @@ class TpuAligner:
         if len(set(texts)) != 1:
             raise ValueError("align_batch_begin needs one shared transcript")
         g = self.graph_for_text(texts[0])
-        ns = np.array([len(a) for a in audios])
-        Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
-        N = int(ns.max())
-        Tmax = max(64, -(-int(Ts.max()) // 64) * 64)
-        buf = np.zeros((len(audios), N), np.int16)
-        for i, a in enumerate(audios):
-            buf[i, : len(a)] = a
-        return self._batch_begin(g, buf, ns, Ts, Tmax, dist_mode)
+        return self._batch_begin(g, audios, dist_mode)
 
     def align_batch_end(self, handle) -> list[list[WordSeg]]:
         """Fetch + extract the results of an align_batch_begin batch."""
@@ -310,8 +287,7 @@ class TpuAligner:
             for i in range(len(paths))
         ]
 
-    def _batch_begin(self, g: AlignGraph, buf, ns, Ts, Tmax: int,
-                     dist_mode: str):
+    def _batch_begin(self, g: AlignGraph, audios, dist_mode: str):
         """Shared chunk-pipelined batch path: per chunk, host FE (or
         device FE) -> upload -> dynamic features -> dense senone scoring
         with the [n_sen]->[S] graph gather folded in; then ONE whole-batch
@@ -319,16 +295,25 @@ class TpuAligner:
         (align_viterbi_batch).  Chunking exists so chunk i+1's host FE and
         h2d upload overlap chunk i's device compute; the Viterbi runs
         over the full batch because its scan cost is per-FRAME, not
-        per-utterance, once the batch fills the lanes."""
-        B = len(buf)
-        chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "16")))
+        per-utterance, once the batch fills the lanes.  The wire path
+        reads straight from the caller's per-utterance arrays (no padded
+        [B, N] batch copy)."""
+        B = len(audios)
+        ns = np.array([len(a) for a in audios])
+        Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
+        Tmax = max(64, -(-int(Ts.max()) // 64) * 64)
+        chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "64")))
+        buf = None
+        if self.native_fe is None or self.wire != "i16p":
+            buf = np.zeros((B, int(ns.max())), np.int16)
+            for i, a in enumerate(audios):
+                buf[i, : len(a)] = a
         sen_chunks = []
         for i0 in range(0, B, chunk):
             Ts_d = jax.device_put(Ts[i0:i0 + chunk])
             if self.native_fe is not None and self.wire == "i16p":
-                pl = self.native_fe.process_batch_i16p(
-                    buf[i0:i0 + chunk], ns[i0:i0 + chunk], Tmax,
-                    self.wire_scale)
+                pl = self.native_fe.process_list_i16p(
+                    audios[i0:i0 + chunk], Tmax, self.wire_scale)
                 sen_g = self._score_chunk_planes(
                     g, jax.device_put(pl), Ts_d, Tmax, dist_mode)
             elif self.native_fe is not None:
@@ -441,16 +426,9 @@ class TpuAligner:
         g = getattr(self, "_decode_graph", None)
         if g is None:
             raise RuntimeError("call set_grammar() first")
-        ns = np.array([len(a) for a in audios])
-        Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
-        N = int(ns.max())
-        Tmax = max(64, -(-int(Ts.max()) // 64) * 64)
-        buf = np.zeros((len(audios), N), np.int16)
-        for i, a in enumerate(audios):
-            buf[i, : len(a)] = a
         B = len(audios)
-        _, _, paths_d, _final_d = self._batch_begin(g, buf, ns, Ts, Tmax,
-                                                    dist_mode)
+        Ts = np.array([self.fe.n_frames(len(a)) for a in audios])
+        _, _, paths_d, _final_d = self._batch_begin(g, audios, dist_mode)
         paths = np.asarray(paths_d)
         results = []
         for i in range(B):

@@ -61,6 +61,11 @@ def _lib():
         c.POINTER(c.c_int32), c.c_int, c.POINTER(c.c_uint8), c.c_float,
         c.c_int,
     ]
+    lib.sst_fe_process_batch_i16p_ptrs.argtypes = [
+        c.c_void_p, c.POINTER(c.POINTER(c.c_int16)),
+        c.POINTER(c.c_int32), c.c_int, c.c_int, c.POINTER(c.c_uint8),
+        c.c_float, c.c_int,
+    ]
     _LIB = lib
     return lib
 
@@ -163,4 +168,21 @@ class NativeFrontend:
             self._h, _ptr(audio, ctypes.c_int16), B, N,
             _ptr(ns, ctypes.c_int32), Tmax, _ptr(out, ctypes.c_uint8),
             float(scale), nthreads)
+        return out
+
+    def process_list_i16p(self, audios: list, Tmax: int,
+                          scale: float = 256.0,
+                          nthreads: int = 0) -> np.ndarray:
+        """Like process_batch_i16p but straight from a list of int16
+        arrays (no padded [B, N] copy -- the batch assembly memcpy was
+        ~10% of per-batch host CPU)."""
+        B = len(audios)
+        arrs = [np.ascontiguousarray(a, np.int16) for a in audios]
+        ptrs = (ctypes.POINTER(ctypes.c_int16) * B)(
+            *[_ptr(a, ctypes.c_int16) for a in arrs])
+        ns = np.array([len(a) for a in arrs], np.int32)
+        out = np.empty((2, B, Tmax, self.ncep), np.uint8)
+        self._lib.sst_fe_process_batch_i16p_ptrs(
+            self._h, ptrs, _ptr(ns, ctypes.c_int32), B, Tmax,
+            _ptr(out, ctypes.c_uint8), float(scale), nthreads)
         return out
