@@ -510,28 +510,33 @@ class TpuAligner:
         N = int(ns.max())
         gran = 64 * nseq
         Tmax = max(gran, -(-int(Ts.max()) // gran) * gran)
-        buf = np.zeros((len(audios), N), np.int16)
-        for i, a in enumerate(audios):
-            buf[i, : len(a)] = a
-        # FE + features + scoring are frame-local: compute feats like the
-        # data-parallel path, then score with the frame axis sharded
-        if self.native_fe is not None:
-            cep = self.native_fe.process_batch(buf, ns, Tmax)
-            cep_d = jax.device_put(cep)
+        # FE + features + scoring are frame-local: score exactly like
+        # the data-parallel path (same wire format, same graph-restricted
+        # scorer, so results stay bit-identical with align_batch), then
+        # run the ring-carried Viterbi with the frame axis sharded.
+        Ts_d = jax.device_put(Ts)
+        if self.native_fe is not None and self.wire == "i16p":
+            pl = self.native_fe.process_list_i16p(audios, Tmax,
+                                                  self.wire_scale)
+            sen_g = self._score_chunk_planes(g, jax.device_put(pl), Ts_d,
+                                             Tmax, dist_mode)
         else:
-            cep_d = jax.vmap(
-                lambda a, n: self.fe.mfcc(a.astype(jnp.float32), n, Tmax)
-            )(jax.device_put(buf), jax.device_put(ns))
-        cmn = self.config["cmn"]
-        feats = jax.jit(jax.vmap(lambda c, T: feats_full_utt(c, T, cmn)))(
-            cep_d, jax.device_put(Ts))
-        B = feats.shape[0]
-        flat = feats.reshape((-1,) + feats.shape[2:])
-        senscr = np.asarray(score_frames(self.tables, flat, dist_mode))
-        senscr = senscr.reshape(B, Tmax, -1)
-
+            buf = np.zeros((len(audios), N), np.int16)
+            for i, a in enumerate(audios):
+                buf[i, : len(a)] = a
+            if self.native_fe is not None:
+                cep = self.native_fe.process_batch(buf, ns, Tmax)
+                sen_g = self._score_chunk_cep(g, jax.device_put(cep), Ts_d,
+                                              Tmax, dist_mode)
+            else:
+                sen_g = self._score_chunk_raw(g, jax.device_put(buf),
+                                              jax.device_put(ns), Ts_d,
+                                              Tmax, dist_mode)
+        B = len(audios)
+        senscr = np.asarray(sen_g)
+        P = len(g.senid)
         entry = np.where(g.is_entry, g.entry_pen, WORST_SCORE).astype(np.int32)
-        senid = self.tables.sen_remap[g.senid].astype(np.int32)
+        senid = np.arange(P * 3, dtype=np.int32).reshape(P, 3)
         tp = np.asarray(self.am.tmat.astype(np.int32))[g.tmatid]
         pi, pp, pk = build_pred_table(g.edge_src, g.edge_dst, g.edge_pen,
                                       len(g.senid))
@@ -669,6 +674,8 @@ class TpuAligner:
                     return p
 
                 path = jax.vmap(bt_one)(tok_id, fstate, fscore, Ts)
+                if sg.shape[-1] < 32767:
+                    path = path.astype(jnp.int16)   # halves the d2h bytes
                 return path, fscore
 
             vit_j = self._vit_batch_jit[gkey] = jax.jit(run)

@@ -99,3 +99,17 @@ def test_seqpipe_segments_match_reference(setup):
         w, sf, ef, ascr, lscr = line.split()
         ref.append((w, int(sf), int(ef)))
     assert got == ref
+
+
+def test_align_longform_batch_matches_align_batch(setup):
+    """The public longform API must reproduce align_batch exactly: same
+    wire format, same graph-restricted scorer, ring-carried Viterbi."""
+    al, _, _ = setup
+    raw = np.fromfile("/root/reference/tests/data/goforward.raw", np.int16)
+    texts = ["go forward ten meters"] * 2
+    audios = [raw, raw[:30000]]
+    want = al.align_batch(audios, texts)
+    got = al.align_longform_batch(audios, texts)
+    for w, g2 in zip(want, got):
+        assert [(s.word, s.start, s.duration) for s in g2] == \
+            [(s.word, s.start, s.duration) for s in w]
