@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from .fe.cmn_live import CmnLive
 from .fe.feat import FEAT_DCEP_WIN
 from .ops.align_jax import WORST_SCORE, make_vit_step, vit_carry0
-from .ops.senscore_jax import score_frames
+from .ops.senscore_jax import score_frames_graph
 
 _W = FEAT_DCEP_WIN + 1  # 1s_c_d_dd window (3)
 
@@ -50,8 +50,6 @@ class AlignStream:
         self.text = text
         g = aligner.graph_for_text(text)
         self.g = g
-        self._senid = jnp.asarray(
-            aligner.tables.sen_remap[g.senid].astype(np.int32))
         self._S = len(g.senid) * 3
         fe = aligner.fe
         self.shift, self.size = fe.frame_shift, fe.frame_size
@@ -91,7 +89,8 @@ class AlignStream:
                                           g.edge_pen, len(g.senid))
             consts = [jnp.asarray(x) for x in
                       (pi, pp, pk, g.astart, g.aend)]
-            senid = self._senid
+            P = len(g.senid)
+            senid = jnp.arange(P * 3, dtype=jnp.int32).reshape(P, 3)
             tp = al.tmat_i32[jnp.asarray(g.tmatid)]
             C = self.CHUNK
 
@@ -184,8 +183,11 @@ class AlignStream:
         Tb = -(-nnew // 32) * 32
         fpad = np.zeros((Tb,) + feats.shape[1:], np.float32)
         fpad[:nnew] = feats
-        senscr = np.asarray(score_frames(self.al.tables,
-                                         jnp.asarray(fpad)))[:nnew]
+        # graph-restricted scorer: same scores as the batch fast path
+        # (senone columns already in graph-state order; values fit i16)
+        gs = self.al._graph_consts(self.g)["gs"]
+        senscr = np.asarray(score_frames_graph(
+            gs, jnp.asarray(fpad))).astype(np.int16)[:nnew]
         self._pend = np.concatenate([self._pend, senscr]) \
             if len(self._pend) else senscr
         # dispatch Viterbi only in FULL buckets; the remainder waits in
