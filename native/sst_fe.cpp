@@ -264,20 +264,41 @@ void process_utt_x8(const FeState& st, const int16_t* audio[LANES],
   std::vector<vd> frame(n), tmp(n), spec(half + 1);
   std::vector<vd> mfsv(nfilt), lsv(nfilt), gain(nfilt);
   std::vector<vf> cep(st.ncep);
+  std::vector<double> pe(LANES * size);
   NoiseStateX8 ns(nfilt);
+  const bool fuse_window = !st.remove_dc;
   for (int f = 0; f < nfr_max; f++) {
     const int64_t s0 = (int64_t)f * shift;
-    for (int j = 0; j < size; j++) {
-      const int64_t idx = s0 + j;
-      vd v = {};
-      for (int l = 0; l < LANES; l++) {
-        if (audio[l] && idx < n_samps[l]) {
-          const double cur = (double)(float)audio[l][idx];
-          const double prv =
-              idx > 0 ? (double)(float)audio[l][idx - 1] : 0.0;
-          v[l] = cur - prv * st.alpha;
-        }
+    // per-lane contiguous pre-emphasis (+window when no DC removal):
+    // vectorizable along the sample axis; then transpose into the
+    // [sample][lane] FFT layout.  Same op order as the scalar path:
+    // (cur - prv*alpha) rounds once, then *window rounds once.
+    for (int l = 0; l < LANES; l++) {
+      double* p = pe.data() + (size_t)l * size;
+      const int16_t* a = audio[l];
+      long navail = a ? (long)n_samps[l] - s0 : 0;
+      if (navail < 0) navail = 0;
+      if (navail > size) navail = size;
+      int j0 = 0;
+      if (navail > 0 && s0 == 0) {
+        const double v0 = (double)(float)a[0];
+        p[0] = fuse_window ? v0 * st.window[0] : v0;
+        j0 = 1;
       }
+      if (fuse_window) {
+        for (int j = j0; j < (int)navail; j++)
+          p[j] = ((double)(float)a[s0 + j] -
+                  (double)(float)a[s0 + j - 1] * st.alpha) * st.window[j];
+      } else {
+        for (int j = j0; j < (int)navail; j++)
+          p[j] = (double)(float)a[s0 + j] -
+                 (double)(float)a[s0 + j - 1] * st.alpha;
+      }
+      for (int j = (int)navail; j < size; j++) p[j] = 0.0;
+    }
+    for (int j = 0; j < size; j++) {
+      vd v;
+      for (int l = 0; l < LANES; l++) v[l] = pe[(size_t)l * size + j];
       frame[j] = v;
     }
     if (st.remove_dc) {
@@ -285,8 +306,8 @@ void process_utt_x8(const FeState& st, const int16_t* audio[LANES],
       for (int j = 0; j < size; j++) sum += frame[j];
       const vd mean = sum / (double)size;
       for (int j = 0; j < size; j++) frame[j] -= mean;
+      for (int j = 0; j < size; j++) frame[j] *= st.window[j];
     }
-    for (int j = 0; j < size; j++) frame[j] *= st.window[j];
     for (int j = size; j < n; j++) frame[j] = vd{};
     fft_real_x8(st, frame.data(), tmp.data());
     spec[0] = frame[0] * frame[0];
