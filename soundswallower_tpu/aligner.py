@@ -304,16 +304,29 @@ class TpuAligner:
         Tmax = max(64, -(-int(Ts.max()) // 64) * 64)
         chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "64")))
         buf = None
+        fe_futs = None
         if self.native_fe is None or self.wire != "i16p":
             buf = np.zeros((B, int(ns.max())), np.int16)
             for i, a in enumerate(audios):
                 buf[i, : len(a)] = a
+        else:
+            # Prefetch the host FE on a worker thread (the C FE releases
+            # the GIL and threads internally): FE for chunk i+1 runs
+            # while this thread blocks in the dispatch RPCs for chunk i.
+            if not hasattr(self, "_fe_pool"):
+                from concurrent.futures import ThreadPoolExecutor
+                self._fe_pool = ThreadPoolExecutor(max_workers=1)
+            fe_futs = [
+                self._fe_pool.submit(self.native_fe.process_list_i16p,
+                                     audios[i0:i0 + chunk], Tmax,
+                                     self.wire_scale)
+                for i0 in range(0, B, chunk)
+            ]
         sen_chunks = []
-        for i0 in range(0, B, chunk):
+        for ci, i0 in enumerate(range(0, B, chunk)):
             Ts_d = jax.device_put(Ts[i0:i0 + chunk])
-            if self.native_fe is not None and self.wire == "i16p":
-                pl = self.native_fe.process_list_i16p(
-                    audios[i0:i0 + chunk], Tmax, self.wire_scale)
+            if fe_futs is not None:
+                pl = fe_futs[ci].result()
                 sen_g = self._score_chunk_planes(
                     g, jax.device_put(pl), Ts_d, Tmax, dist_mode)
             elif self.native_fe is not None:
