@@ -320,12 +320,17 @@ class GraphScorer:
 
     Normalization: per-frame norms (codebook_norm's cross-codebook max,
     ptm's best-senone subtraction) are taken over the RESTRICTED sets.
-    Per-frame normalization shifts every state's score equally and
-    cancels in the Viterbi argmax (the same argument that lets the C
-    reference align with active-set scoring, where norms run over the
-    active subset -- ptm_mgau.c:264-295 normalizes whatever was
-    evaluated that frame).  Final path scores differ from compallsen
-    scoring by a per-utterance constant; boundaries do not.
+    A per-frame norm shifts every state's score equally and cancels in
+    the Viterbi argmax -- exactly, except where the MAX_NEG_ASCR clamp
+    saturates: the restricted norm is <= the full norm, so fewer
+    codeword terms hit the 96-cap (strictly LESS saturation than
+    compallsen, and the same situation as the C reference's active-set
+    scoring, whose norm runs over the active subset --
+    ptm_mgau.c:264-295 normalizes whatever was evaluated that frame).
+    The residual deviations touch only senones whose top-N codewords
+    are already >= 96<<SENSCR_SHIFT below the frame best;
+    tests/test_senscore.py asserts they are bounded and that Viterbi
+    paths match the full scorer exactly on the reference data.
     """
 
     means: jnp.ndarray       # f32 [Cu, F, D, L] used-codebook rows

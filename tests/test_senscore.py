@@ -165,3 +165,39 @@ def test_tpu_score_frames_parity(en_us):
     got = got[: len(gold)]
     frac = (got == gold).mean()
     assert frac > 0.999, f"TPU scorer agreement dropped to {frac}"
+
+
+def test_graph_scorer_matches_full_scorer_paths():
+    """The graph-restricted scorer (GraphScorer) equals the full grouped
+    scorer at the graph's senone columns up to a per-frame additive
+    constant, EXCEPT where the MAX_NEG_ASCR clamp saturates: the
+    restricted norm is <= the full norm, so fewer codeword terms hit the
+    96-cap (less saturation than compallsen, like the C reference's own
+    active-set scoring).  Assert (a) the deviation beyond the per-frame
+    constant stays within the clamp bound, touching only senones whose
+    top-N codewords are already >= 96<<SENSCR_SHIFT below the best, and
+    (b) the Viterbi paths -- the thing alignment depends on -- are
+    identical."""
+    import jax.numpy as jnp
+    from soundswallower_tpu.aligner import TpuAligner
+    from soundswallower_tpu.ops.senscore_jax import (
+        MAX_NEG_ASCR, score_frames, score_frames_graph)
+
+    al = TpuAligner(hmm="/root/reference/model/en-us")
+    g = al.graph_for_text("go forward ten meters")
+    feat = golden("goforward-en", "feat.f32", np.float32, (-1, 3, 13))
+    fj = jnp.asarray(feat)
+    T = len(feat)
+    full = np.asarray(score_frames(al.tables, fj)).astype(np.int32)
+    cols = al.tables.sen_remap[g.senid].reshape(-1)
+    sel = full[:, cols]                       # [T, S]
+    gs = al._graph_consts(g)["gs"]
+    restricted = np.asarray(score_frames_graph(gs, fj))
+    d = sel - restricted
+    spread = d.max(axis=1) - d.min(axis=1)
+    assert spread.max() <= 3 * MAX_NEG_ASCR, spread.max()
+    assert np.median(spread) == 0
+    # Viterbi paths must agree exactly
+    path_full, _ = al._viterbi(g, jnp.asarray(full.astype(np.int16)), T)
+    path_r, _ = al._viterbi_graph(g, jnp.asarray(restricted), jnp.int32(T))
+    assert (np.asarray(path_full)[:T] == np.asarray(path_r)[:T]).all()
