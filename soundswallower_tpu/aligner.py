@@ -241,12 +241,25 @@ class TpuAligner:
         """Batch alignment.  Same-transcript batches run fully vectorized
         (vmap over scoring and Viterbi); mixed transcripts loop."""
         if len(set(texts)) != 1:
-            out = []
-            for a, t in zip(audios, texts):
+            # Mixed transcripts: group by text, dispatch every group
+            # (begin), then collect (end) -- group k+1's host FE and
+            # upload overlap group k's device compute, so a mixed batch
+            # costs ~one pass, not one pass per distinct text.
+            groups: dict[str, list[int]] = {}
+            for i, t in enumerate(texts):
+                groups.setdefault(t, []).append(i)
+            out: list = [None] * len(audios)
+            handles = []
+            for t, idxs in groups.items():
                 try:
-                    out.append(self.align(a, t, dist_mode))
-                except (RuntimeError, KeyError):
-                    out.append(None)  # per-utterance failure flag
+                    g = self.graph_for_text(t)
+                except KeyError:
+                    continue  # unknown word: those utterances stay None
+                handles.append((idxs, self._batch_begin(
+                    g, [audios[i] for i in idxs], dist_mode)))
+            for idxs, h in handles:
+                for i, segs in zip(idxs, self._batch_end(h)):
+                    out[i] = segs
             return out
         g = self.graph_for_text(texts[0])
         return self._align_batch_same(audios, g, dist_mode)
@@ -279,12 +292,12 @@ class TpuAligner:
         return self._batch_end(handle)
 
     def _batch_end(self, handle):
-        g, Ts, paths_d, final_d = handle
+        g, Ts, paths_d, final_d, realB = handle
         paths = np.asarray(paths_d)
         final_sc = np.asarray(final_d)
         return [
             self._extract_safe(g, paths[i], int(Ts[i]), int(final_sc[i]))
-            for i in range(len(paths))
+            for i in range(realB)
         ]
 
     def _batch_begin(self, g: AlignGraph, audios, dist_mode: str):
@@ -298,7 +311,14 @@ class TpuAligner:
         per-utterance, once the batch fills the lanes.  The wire path
         reads straight from the caller's per-utterance arrays (no padded
         [B, N] batch copy)."""
-        B = len(audios)
+        realB = len(audios)
+        # Bucket the batch size so serving-style variable batches reuse
+        # a bounded set of compiled shapes (first TPU compile of a new
+        # shape is ~20-40s); pad rows repeat the last utterance and are
+        # dropped in _batch_end.
+        B = (-(-realB // 8) * 8 if realB <= 64
+             else -(-realB // 64) * 64)
+        audios = list(audios) + [audios[-1]] * (B - realB)
         ns = np.array([len(a) for a in audios])
         Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
         Tmax = max(64, -(-int(Ts.max()) // 64) * 64)
@@ -346,7 +366,7 @@ class TpuAligner:
                                          jax.device_put(Ts.astype(np.int32)))
         paths.copy_to_host_async()
         final_sc.copy_to_host_async()
-        return (g, Ts, paths, final_sc)
+        return (g, Ts[:realB], paths, final_sc, realB)
 
     def _extract_safe(self, g, path, T, final_score):
         """Per-utterance failure isolation (SURVEY §5: an unreachable
@@ -441,7 +461,8 @@ class TpuAligner:
             raise RuntimeError("call set_grammar() first")
         B = len(audios)
         Ts = np.array([self.fe.n_frames(len(a)) for a in audios])
-        _, _, paths_d, _final_d = self._batch_begin(g, audios, dist_mode)
+        _, _, paths_d, _final_d, _realB = self._batch_begin(g, audios,
+                                                            dist_mode)
         paths = np.asarray(paths_d)
         results = []
         for i in range(B):

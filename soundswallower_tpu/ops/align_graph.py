@@ -225,7 +225,7 @@ def build_chain_graph(
         astart[t] = min(astart[t], astart[s] + 1)
     aend = np.full(P, 1 << 30, np.int64)
 
-    return AlignGraph(
+    return pad_graph(AlignGraph(
         ssid=ssid, tmatid=tmatid, senid=senid,
         edge_src=edge_src, edge_dst=edge_dst, edge_pen=edge_pen,
         entry_pen=entry_pen, is_entry=is_entry,
@@ -233,4 +233,43 @@ def build_chain_graph(
         word_of=word_of, variant_of=variant_of, pos_of=pos_of, cipid=cipid,
         final_nodes=np.asarray(sorted(set(finals)), np.int32),
         wids=list(wids),
+    ))
+
+
+def pad_graph(g: AlignGraph, multiple: int | None = None) -> AlignGraph:
+    """Pad the node count to a multiple so the kernels' compiled shapes
+    come from a bounded bucket set (one TPU compile per SIZE CLASS of
+    transcript, not per transcript).  Pad nodes have an impossible
+    active window (astart > aend), no edges, and WORST entry, so they
+    stay at WORST_SCORE forever and can never appear on a decoded path.
+
+    Default multiple is 1 (no padding): the measured TPU lowering is so
+    shape-sensitive (top_k at Cu=16 runs 6x slower than Cu=15 or 17;
+    see _topn_argmax) that blind padding cost ~20% end-to-end on the
+    reference workload.  Serving workloads with MANY distinct
+    transcripts should set SST_GRAPH_PAD=16 to trade that against one
+    20-40s compile per transcript size class."""
+    import os
+    if multiple is None:
+        multiple = max(1, int(os.environ.get("SST_GRAPH_PAD", "1")))
+    P = len(g.ssid)
+    Pp = -(-P // multiple) * multiple
+    if Pp == P:
+        return g
+    k = Pp - P
+
+    def padv(a, fill):
+        return np.concatenate(
+            [a, np.full((k,) + a.shape[1:], fill, a.dtype)])
+
+    return AlignGraph(
+        ssid=padv(g.ssid, 0), tmatid=padv(g.tmatid, 0),
+        senid=padv(g.senid, 0),
+        edge_src=g.edge_src, edge_dst=g.edge_dst, edge_pen=g.edge_pen,
+        entry_pen=padv(g.entry_pen, 0),
+        is_entry=padv(g.is_entry, False),
+        astart=padv(g.astart, 1), aend=padv(g.aend, 0),
+        word_of=padv(g.word_of, -1), variant_of=padv(g.variant_of, 0),
+        pos_of=padv(g.pos_of, 0), cipid=padv(g.cipid, 0),
+        final_nodes=g.final_nodes, wids=list(g.wids),
     )

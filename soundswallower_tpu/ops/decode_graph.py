@@ -265,7 +265,8 @@ def build_fsg_graph(fsg, d, d2p, am, lmath, config) -> AlignGraph:
                 dq.append(v)
     aend = np.full(P, 1 << 30, np.int64)
 
-    return AlignGraph(
+    from .align_graph import pad_graph
+    return pad_graph(AlignGraph(
         ssid=ssid, tmatid=tmatid, senid=senid,
         edge_src=edge_src, edge_dst=edge_dst, edge_pen=edge_pen,
         entry_pen=entry_pen, is_entry=is_entry,
@@ -275,4 +276,4 @@ def build_fsg_graph(fsg, d, d2p, am, lmath, config) -> AlignGraph:
         cipid=cipid,
         final_nodes=np.asarray(sorted(finals), np.int32),
         wids=[],
-    )
+    ))

@@ -170,7 +170,16 @@ def _topn_argmax(di, n):
     """Top-n scores+indices over the last axis (first-max-wins
     tie-breaking, same as a stable descending sort).  lax.top_k's TPU
     lowering breaks ties by lowest index, matching the C argmax loops;
-    it measures ~2x faster than n iterative argmax rounds here."""
+    it measures ~2x faster than n iterative argmax rounds here.
+
+    Shape warning (measured on the axon-tunnel TPU v5e): top_k's TPU
+    lowering is pathologically sensitive to the leading-dim
+    factorization — [T,16,3,128] runs ~6x slower than [T,15,3,128] or
+    [T,17,3,128] in isolation, while flattening to [T*Cu*F,128] is
+    uniformly mid-speed in isolation but ~20% slower END TO END at the
+    shapes the en-us alignment path produces.  Keep the plain 4D form;
+    if a model/graph combination hits a slow shape class, prefer
+    changing the codebook-bucket padding over reshaping here."""
     sc, cw = jax.lax.top_k(di, n)
     return sc, cw.astype(jnp.int32)
 
@@ -349,7 +358,11 @@ class GraphScorer:
         S = len(senid_flat)
         sen2cb = np.asarray(am.sen2cb, np.int64)
         used_cb = np.unique(sen2cb[senid_flat])
-        cb_row = np.full(int(sen2cb.max()) + 1, -1, np.int64)
+        # Bucket the used-codebook count to a multiple of 4 (bounded set
+        # of compiled distance/top-N shapes across transcripts); pad
+        # rows repeat codebook 0 and are never referenced by cb_pos.
+        n_cb_total = int(sen2cb.max()) + 1
+        cb_row = np.full(n_cb_total, -1, np.int64)
         cb_row[used_cb] = np.arange(len(used_cb))
         cb_pos = cb_row[sen2cb[senid_flat]].astype(np.int32)
         # mixture weights for the graph senones (decode the 4-bit
