@@ -312,6 +312,9 @@ class TpuAligner:
         reads straight from the caller's per-utterance arrays (no padded
         [B, N] batch copy)."""
         realB = len(audios)
+        if realB == 0:
+            return (g, np.zeros(0, np.int64), np.zeros((0, 0), np.int16),
+                    np.zeros(0, np.int32), 0)
         # Bucket the batch size so serving-style variable batches reuse
         # a bounded set of compiled shapes (first TPU compile of a new
         # shape is ~20-40s); pad rows repeat the last utterance and are
