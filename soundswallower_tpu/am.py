@@ -185,6 +185,43 @@ class AcousticModel:
     def n_mgau(self) -> int:
         return self.means.shape[0]
 
+    @property
+    def mixw_wrap_u8(self) -> bool:
+        """Whether mixture terms wrap modulo 256 during senone eval: the
+        semi-continuous 4-bit path precomputes ``uint8 w_den[][16] =
+        mixw_cb[j] + score`` (s2_semi_mgau.c:452-461), so mixw + codeword
+        score truncates to uint8 before the log-add.  No other backend
+        does this (the 8-bit path uses int32, :221; ptm uses int,
+        ptm_mgau.c:374-381)."""
+        return self.backend == "semi" and self.mixw_cb is not None
+
+    def mixw_dense(self, sens: np.ndarray | None = None) -> np.ndarray:
+        """Decoded uint8 mixture weights [n_feat, n_density, len(sens)].
+
+        8-bit sendumps / float mixw are stored dense already.  4-bit
+        clustered sendumps pack two senones per byte and decode through
+        the 16-entry cluster codebook — with a convention that differs
+        PER BACKEND in the reference:
+
+        * ptm selects the nibble by PACKED-BYTE parity
+          (``dcw = (dcw & 1) ? dcw >> 4 : dcw & 0x0f``, ptm_mgau.c:377)
+          — a faithful quirk of the C code, replicated for parity;
+        * the semi-continuous scorer selects by SENONE-INDEX parity
+          (``if (n & 1) cw = pid_cw[n/2] >> 4``, s2_semi_mgau.c:475-499).
+        """
+        if sens is None:
+            sens = np.arange(self.n_sen)
+        sens = np.asarray(sens, np.int64)
+        if self.mixw_cb is None:
+            return self.mixw[:, :, sens]
+        packed = self.mixw[:, :, sens // 2].astype(np.int64)
+        if self.backend == "semi":
+            odd = (sens[None, None, :] & 1) != 0
+        else:
+            odd = (packed & 1) != 0
+        dcw = np.where(odd, packed >> 4, packed & 0x0F)
+        return self.mixw_cb[dcw]
+
 
 def quantize_mixw(pdf: np.ndarray, mixw_floor: float, lmath_8b: LogMath) -> np.ndarray:
     """read_mixw quantization (ptm_mgau.c:658-684): normalize, floor,

@@ -339,13 +339,20 @@ class ScorerNp:
                 cw_j = cw[cbs, f, j]
                 if am.mixw_cb is not None:
                     packed = am.mixw[f, cw_j, sens // 2].astype(np.int64)
-                    # NB: reference reads (dcw & 1), see ptm_mgau.c:377 —
-                    # replicated verbatim for parity.
-                    dcw = np.where(packed & 1, packed >> 4, packed & 0x0F)
+                    # Nibble select differs per backend: ptm keys on the
+                    # PACKED-BYTE parity (ptm_mgau.c:377, a faithful C
+                    # quirk), semi on the SENONE-INDEX parity
+                    # (s2_semi_mgau.c:475-499).  See am.mixw_dense.
+                    odd = (sens & 1) if am.backend == "semi" else (packed & 1)
+                    dcw = np.where(odd, packed >> 4, packed & 0x0F)
                     mixw_j = am.mixw_cb[dcw].astype(np.int64)
                 else:
                     mixw_j = am.mixw[f, cw_j, sens].astype(np.int64)
                 term = mixw_j + sc[cbs, f, j]
+                if am.mixw_wrap_u8:
+                    # semi 4-bit precomputes uint8 w_den = mixw_cb + score
+                    # (s2_semi_mgau.c:452-461): sum truncates to uint8
+                    term = term & 0xFF
                 if fden is None:
                     fden = term
                 else:

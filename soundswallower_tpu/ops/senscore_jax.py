@@ -58,18 +58,17 @@ class ScorerTables:
     max_topn: int = field(metadata=dict(static=True), default=4)
     n_sen: int = field(metadata=dict(static=True), default=0)
     backend: str = field(metadata=dict(static=True), default="ptm")
+    # semi 4-bit quirk: mixw + codeword score truncates to uint8 before
+    # the log-add (s2_semi_mgau.c:452-461; see am.mixw_wrap_u8)
+    wrap_u8: bool = field(metadata=dict(static=True), default=False)
 
     @classmethod
     def from_am(cls, am: AcousticModel) -> "ScorerTables":
         n_sen = am.n_sen
         n_cb = am.n_mgau
-        if am.mixw_cb is not None:
-            sens = np.arange(n_sen)
-            packed = am.mixw[:, :, sens // 2].astype(np.int64)
-            dcw = np.where(packed & 1, packed >> 4, packed & 0x0F)
-            mixw = am.mixw_cb[dcw].astype(np.uint8)
-        else:
-            mixw = am.mixw  # [F, D, n_sen]
+        # Decode 4-bit clustered sendumps per the backend's own
+        # convention (am.mixw_dense docstring; ptm and semi differ).
+        mixw = am.mixw_dense().astype(np.uint8)  # [F, D, n_sen]
         # Group senones by codebook, splitting codebooks with more than
         # M=128 senones into several groups (each group carries its
         # codebook id in cb_of): keeps the grouped score matrix at
@@ -125,6 +124,7 @@ class ScorerTables:
             max_topn=am.max_topn,
             n_sen=n_sen,
             backend=am.backend,
+            wrap_u8=am.mixw_wrap_u8,
         )
 
     @property
@@ -248,6 +248,8 @@ def _sen_eval(tables: ScorerTables, topn_scores, topn_cw):
                             preferred_element_type=jnp.float32)
             mw = mw.astype(jnp.int32)                      # [T,G,M]
             term = mw + s_g[:, :, f, j][..., None]         # [T,G,M]
+            if t.wrap_u8:
+                term = term & 0xFF
             if fden is None:
                 fden = term
             else:
@@ -349,6 +351,7 @@ class GraphScorer:
     cb_pos: jnp.ndarray      # int32 [S] graph state -> used-codebook row
     table_thresh: jnp.ndarray  # int32 [K] log-add staircase
     max_topn: int = field(metadata=dict(static=True), default=4)
+    wrap_u8: bool = field(metadata=dict(static=True), default=False)
 
     @classmethod
     def build(cls, am: AcousticModel, tables: ScorerTables,
@@ -365,15 +368,10 @@ class GraphScorer:
         cb_row = np.full(n_cb_total, -1, np.int64)
         cb_row[used_cb] = np.arange(len(used_cb))
         cb_pos = cb_row[sen2cb[senid_flat]].astype(np.int32)
-        # mixture weights for the graph senones (decode the 4-bit
-        # clustered sendump like ScorerTables.from_am)
-        if am.mixw_cb is not None:
-            packed = am.mixw[:, :, senid_flat // 2].astype(np.int64)
-            dcw = np.where(senid_flat[None, None, :] & 1,
-                           packed >> 4, packed & 0x0F)
-            mixw_s = am.mixw_cb[dcw].astype(np.int64)   # [F, D, S]
-        else:
-            mixw_s = am.mixw[:, :, senid_flat].astype(np.int64)
+        # mixture weights for the graph senones (4-bit clustered
+        # sendumps decode per the backend's convention — see
+        # am.mixw_dense; same decode as ScorerTables.from_am)
+        mixw_s = am.mixw_dense(senid_flat).astype(np.int64)  # [F, D, S]
         F, D = mixw_s.shape[0], mixw_s.shape[1]
         Cu = len(used_cb)
         # wsel[f, c*D+d, s] = mixw_s[f, d, s] iff graph state s uses
@@ -393,6 +391,7 @@ class GraphScorer:
             cb_pos=jnp.asarray(cb_pos),
             table_thresh=tables.table_thresh,
             max_topn=tables.max_topn,
+            wrap_u8=am.mixw_wrap_u8,
         )
 
 
@@ -438,6 +437,8 @@ def _topn_sen_stage_graph(gs: GraphScorer, di):
                          preferred_element_type=jnp.float32)
             mw = mw.astype(jnp.int32)                     # [T, S]
             term = mw + s[:, :, f, j][:, gs.cb_pos]       # [T, S]
+            if gs.wrap_u8:
+                term = term & 0xFF
             if fden is None:
                 fden = term
             else:

@@ -324,6 +324,46 @@ def write_lda(path: str, lda: np.ndarray):
         fh.write(lda.tobytes())
 
 
+def write_sendump_4b(path: str, cw: np.ndarray, mixw_cb: np.ndarray,
+                     n_sen: int):
+    """Write a 4-bit clustered sendump (the format read_sendump — and the
+    reference's ptm_mgau.c:456-609 — parses in clustered mode: title +
+    header + attribute strings, NO rows/cols int32s, 16-byte cluster
+    codebook, then packed nibble data).
+
+    cw: uint8 cluster indices [n_feat, n_density, n_sen] (values 0..15);
+    senone 2k goes to the LOW nibble, 2k+1 to the HIGH nibble (the
+    convention s2_semi_mgau.c:475-499 decodes by senone parity).
+    """
+    n_feat, n_density, c = cw.shape
+    if c != n_sen:
+        raise ValueError("cw senone dim mismatch")
+    if len(mixw_cb) != 16:
+        raise ValueError("cluster codebook must have 16 entries")
+    if c % 2:
+        cw = np.concatenate([cw, np.zeros((n_feat, n_density, 1), cw.dtype)],
+                            axis=2)
+    packed = (cw[:, :, 0::2].astype(np.uint8)
+              | (cw[:, :, 1::2].astype(np.uint8) << 4))
+
+    def put_str(fh, text: str):
+        b = text.encode() + b"\0"
+        fh.write(np.array([len(b)], np.int32).tobytes())
+        fh.write(b)
+
+    with open(path, "wb") as fh:
+        put_str(fh, "4-bit clustered sendump (soundswallower_tpu test tool)")
+        put_str(fh, "comment")
+        put_str(fh, "cluster_count 16")
+        put_str(fh, "cluster_bits 4")
+        put_str(fh, f"feature_count {n_feat}")
+        put_str(fh, f"mixture_count {n_density}")
+        put_str(fh, f"model_count {n_sen}")
+        fh.write(np.array([0], np.int32).tobytes())
+        fh.write(np.asarray(mixw_cb, np.uint8).tobytes())
+        fh.write(packed.tobytes())
+
+
 def read_lda(path: str):
     """Read an LDA/feature transform file (lda.c:60-123 read_lda).
 

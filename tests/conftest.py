@@ -76,6 +76,54 @@ def ms_en(tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def sendump_4b(tmp_path_factory):
+    """Deterministic 4-bit clustered sendump synthesized from the stock
+    en-us 8-bit one (tools/make_4b_sendump.py; goldens in
+    tests/golden/ptm4b-en and semi4b-en were produced by the C oracle
+    against this exact file)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_4b_sendump import make_4b_sendump
+
+    out = str(tmp_path_factory.mktemp("sendump4b") / "sendump")
+    return make_4b_sendump(os.path.join(MODELDIR, "en-us"), out)
+
+
+@pytest.fixture(scope="session")
+def ptm_4b_en(sendump_4b):
+    """en-us PTM backend with the synthesized 4-bit clustered sendump
+    (exercises ptm_mgau.c:377's packed-byte-parity nibble decode)."""
+    from soundswallower_tpu.am import AcousticModel
+    from soundswallower_tpu.config import Config
+
+    cfg = Config(hmm=os.path.join(MODELDIR, "en-us"), sendump=sendump_4b)
+    cfg.expand()
+    return AcousticModel.load(cfg), cfg
+
+
+@pytest.fixture(scope="session")
+def semi_4b_en(sendump_4b, tmp_path_factory):
+    """Semi-continuous backend with the 4-bit clustered sendump
+    (exercises s2_semi_mgau.c:475-499's senone-index-parity decode and
+    the uint8 w_den wraparound, :452-461)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_semi_model import make_semi_model
+
+    from soundswallower_tpu.am import AcousticModel
+    from soundswallower_tpu.config import Config
+
+    outdir = str(tmp_path_factory.mktemp("semi4b-model"))
+    mean, var = make_semi_model(os.path.join(MODELDIR, "en-us"), outdir)
+    cfg = Config(hmm=os.path.join(MODELDIR, "en-us"), mean=mean, var=var,
+                 sendump=sendump_4b)
+    cfg.expand()
+    return AcousticModel.load(cfg), cfg
+
+
+@pytest.fixture(scope="session")
 def semi_en(tmp_path_factory):
     """en-us forced into the semi-continuous backend via a synthesized
     single-codebook means/variances pair (see tools/make_semi_model.py;

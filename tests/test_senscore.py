@@ -136,6 +136,83 @@ def test_tpu_semi_score_frames_parity(semi_en):
     assert (got == gold).mean() > 0.99
 
 
+def test_ptm_4b_senscr_bitexact(ptm_4b_en):
+    """PTM backend with a 4-bit clustered sendump vs the C oracle: the
+    nibble select keys on PACKED-BYTE parity (ptm_mgau.c:377, a faithful
+    C quirk — compare s2_semi_mgau.c:475 which keys on senone index)."""
+    am, _ = ptm_4b_en
+    assert am.backend == "ptm" and am.mixw_cb is not None
+    feat = golden("ptm4b-en", "feat.f32", np.float32, (-1, 3, 13))
+    gold = golden("ptm4b-en", "senscr.i16", np.int16, (-1, am.n_sen))
+    sc = ScorerNp(am)
+    for t in range(len(feat)):
+        out = sc.frame_eval(feat[t], t)
+        assert (out == gold[t]).all(), f"frame {t} ptm-4b scores differ"
+
+
+def test_semi_4b_senscr_bitexact(semi_4b_en):
+    """Semi backend with a 4-bit clustered sendump vs the C oracle:
+    senone-index-parity nibble decode plus the uint8 w_den truncation
+    (s2_semi_mgau.c:452-499)."""
+    am, _ = semi_4b_en
+    assert am.backend == "semi" and am.mixw_cb is not None
+    assert am.mixw_wrap_u8
+    feat = golden("semi4b-en", "feat.f32", np.float32, (-1, 3, 13))
+    gold = golden("semi4b-en", "senscr.i16", np.int16, (-1, am.n_sen))
+    sc = ScorerNp(am)
+    for t in range(len(feat)):
+        out = sc.frame_eval(feat[t], t)
+        assert (out == gold[t]).all(), f"frame {t} semi-4b scores differ"
+
+
+def test_tpu_4b_scorers_agree(ptm_4b_en, semi_4b_en):
+    """The dense TPU scorer (ScorerTables.from_am) and the
+    graph-restricted scorer (GraphScorer.build) must decode a clustered
+    sendump IDENTICALLY — for both backends' conventions.  (Round-3
+    advisor finding: from_am used packed-byte parity unconditionally, so
+    the two scorers disagreed for semi clustered models.)"""
+    from soundswallower_tpu.ops.senscore_jax import GraphScorer, ScorerTables
+
+    for am, _ in (ptm_4b_en, semi_4b_en):
+        t = ScorerTables.from_am(am)
+        rng = np.random.RandomState(3)
+        senid = rng.randint(0, am.n_sen, 60)
+        gs = GraphScorer.build(am, t, senid)
+        # decoded mixture weights must match column-for-column
+        dense = am.mixw_dense()  # [F, D, n_sen]
+        mg = np.asarray(t.mixw_g)         # [F, G, D, M]
+        M = t.valid_g.shape[1]
+        cols = t.sen_remap[senid]
+        # non-adjacent advanced indices -> broadcast dim comes first: [S,F,D]
+        from_dense = mg[:, cols // M, :, cols % M]
+        assert (from_dense.transpose(1, 2, 0) == dense[:, :, senid]).all()
+        wsel = np.asarray(gs.wsel.astype(np.float32))  # [F, Cu*D, S]
+        D = dense.shape[1]
+        cb_pos = np.asarray(gs.cb_pos)
+        rows = cb_pos[None, :] * D + np.arange(D)[:, None]
+        from_graph = wsel[:, rows, np.arange(len(senid))[None, :]]  # [F,D,S]
+        assert (from_graph == dense[:, :, senid]).all()
+        assert gs.wrap_u8 == t.wrap_u8 == am.mixw_wrap_u8
+
+
+def test_tpu_4b_score_frames_parity(ptm_4b_en):
+    """Batched TPU scorer on the 4-bit clustered model vs the C golden
+    (same standard as the 8-bit PTM parity test)."""
+    import jax.numpy as jnp
+
+    from soundswallower_tpu.ops.senscore_jax import (
+        ScorerTables, score_frames, ungroup)
+
+    am, _ = ptm_4b_en
+    t = ScorerTables.from_am(am)
+    feat = golden("ptm4b-en", "feat.f32", np.float32, (-1, 3, 13))
+    gold = golden("ptm4b-en", "senscr.i16", np.int16, (-1, am.n_sen))
+    got = ungroup(t, np.asarray(score_frames(t, jnp.asarray(feat), "fold")))
+    got = got[: len(gold)]
+    frac = (got == gold).mean()
+    assert frac > 0.999, f"TPU 4-bit scorer agreement dropped to {frac}"
+
+
 def test_tpu_score_frames_parity(en_us):
     """The batched TPU scorer (senscore_jax.score_frames) vs the C golden
     compallsen scores.  The fast path intentionally drops eval_cb's
