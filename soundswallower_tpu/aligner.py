@@ -32,11 +32,18 @@ from .dictionary import Dictionary
 from .fe.feat import feats_full_utt
 from .fe.frontend import Frontend
 from .logmath import LogMath
-from .ops.align_graph import AlignGraph, build_chain_graph
+from .ops.align_graph import AlignGraph, build_chain_graph, stack_graphs
 from .ops.align_jax import (WORST_SCORE, align_viterbi, align_viterbi_batch,
                             backtrace, build_pred_table)
 from .ops.senscore_jax import (GraphScorer, ScorerTables, score_frames,
                                score_frames_graph)
+
+
+@jax.jit
+def _gather_cols(dense, cols):
+    """Per-row senone-column gather: dense [B, T, G] scores, cols [B, S]
+    grouped-layout columns -> [B, T, S]."""
+    return jnp.take_along_axis(dense, cols[:, None, :], axis=2)
 
 
 @dataclass
@@ -47,6 +54,46 @@ class WordSeg:
     score: int = 0
     phones: list | None = None  # list of (ciphone, start, duration, score)
     wid: int = -1               # dict word id (grammar decode)
+
+
+def result_json_from_segs(segs, lmath, n_frames: int, frate: int,
+                          hyp: str | None = None, start: float = 0.0,
+                          align_level: int = 0) -> str:
+    """WordSeg list -> the reference's line-JSON result schema
+    (decoder_result_json, decoder.c:1502-1593): nested {"b","d","p","t"}
+    objects, words under "w", phones one level deeper when align_level
+    >= 1.  p = logmath-exp of the segment score (top level p follows
+    the reference's prob=0 -> 1.0 when bestpath is off,
+    fsg_search.c:1160-1162)."""
+    def fmt(b, d, p, t):
+        return f'{{"b":{b:.3f},"d":{d:.3f},"p":{p:.3f},"t":"{t}"'
+
+    if hyp is None:
+        hyp = " ".join(s.word for s in segs
+                       if not (s.word.startswith("<")
+                               or s.word.startswith("[")))
+    out = [fmt(start, n_frames / frate, 1.0, hyp), ',"w":[']
+    first = True
+    for s in segs:
+        if not first:
+            out.append(",")
+        first = False
+        out.append(fmt(start + s.start / frate, s.duration / frate,
+                       lmath.exp(int(s.score)), s.word))
+        if align_level and s.phones:
+            out.append(',"w":[')
+            pfirst = True
+            for (ci, ps, pd, psc) in s.phones:
+                if not pfirst:
+                    out.append(",")
+                pfirst = False
+                out.append(fmt(start + ps / frate, pd / frate,
+                               lmath.exp(int(psc)), ci))
+                out.append("}")
+            out.append("]")
+        out.append("}")
+    out.append("]}\n")
+    return "".join(out)
 
 
 class TpuAligner:
@@ -95,6 +142,19 @@ class TpuAligner:
         # exact-wire path.
         self.wire = os.environ.get("SST_WIRE", "i16p")
         self.wire_scale = float(os.environ.get("SST_WIRE_SCALE", "256"))
+        # Frame-axis padding floor (frames, rounded up to 64): serving
+        # sets this (AlignService.prewarm) so every batch shares ONE
+        # compiled frame-axis class regardless of which utterances land
+        # in it — predictable latency instead of a cold-compile p99
+        # tail.  Longer utterances still grow Tmax past the floor.
+        self.tmax_floor = int(os.environ.get("SST_TMAX_FLOOR", "0"))
+        # Opt-in per-segment scores: the Viterbi also emits the token
+        # score stack and the backtrace returns the cumulative path
+        # score per frame, from which extraction derives per-phone /
+        # per-word scores (the "p" fields of the reference result JSON,
+        # decoder_result_json decoder.c:1502-1593).  Off by default —
+        # it doubles the token-stack HBM traffic on the throughput path.
+        self.want_scores = False
 
     # -- graph -------------------------------------------------------------
 
@@ -182,12 +242,17 @@ class TpuAligner:
         return path, final_score
 
     def _extract(self, g: AlignGraph, path, T: int,
-                 final_score: int) -> list[WordSeg]:
+                 final_score: int, pscore=None) -> list[WordSeg]:
         """Decoded state path -> word/phone segments.
 
         Follows state_align_search_finish's boundary rule
         (state_align_search.c:236-255): a state's segment starts at the
         frame after its backpointer changes.
+
+        pscore (optional, [T] int32): cumulative Viterbi path score per
+        frame (want_scores mode).  Per-phone score = the cumulative
+        difference across the segment (alignment_propagate's roll-up,
+        ps_alignment.c:316-352); word score = sum of its phones.
         """
         if path[T - 1] < 0:
             raise RuntimeError("Alignment failed to reach final state")
@@ -201,6 +266,14 @@ class TpuAligner:
         ch = np.nonzero(p[1:] != p[:-1])[0]      # change between t=ch, ch+1
         bounds = [0] + (ch + 2).tolist() + [T]   # +1: reference convention
         nodes_seq = p[ch].tolist() + [int(p[T - 1])]
+
+        def seg_score(s, e):  # frames [s, e)
+            if pscore is None:
+                return 0
+            hi = int(pscore[min(e, T) - 1])
+            lo = int(pscore[s - 1]) if s > 0 else 0
+            return hi - lo
+
         phones: list[tuple[int, int, int, int]] = []  # node, start, dur, score
         for i, st in enumerate(nodes_seq):
             node = st // 3
@@ -208,11 +281,12 @@ class TpuAligner:
             dur = bounds[i + 1] - bounds[i]
             if dur <= 0:
                 continue
+            sc = seg_score(start, start + dur)
             if phones and phones[-1][0] == node:
                 n0, s0, d0, sc0 = phones[-1]
-                phones[-1] = (n0, s0, d0 + dur, sc0)
+                phones[-1] = (n0, s0, d0 + dur, sc0 + sc)
             else:
-                phones.append((node, start, dur, 0))
+                phones.append((node, start, dur, sc))
         # group phone nodes into words
         cur_word = None
         cur = None
@@ -221,7 +295,7 @@ class TpuAligner:
             w = int(g.word_of[node])
             ci = self.am.mdef.ciphone_str(int(g.cipid[node]))
             if w < 0:
-                out.append(WordSeg("<sil>", start, dur,
+                out.append(WordSeg("<sil>", start, dur, score=sc,
                                    phones=[(ci, start, dur, sc)]))
                 cur_word = None
                 continue
@@ -231,6 +305,7 @@ class TpuAligner:
                 out.append(cur)
                 cur_word = w
             cur.duration += dur
+            cur.score += sc
             cur.phones.append((ci, start, dur, sc))
         return out
 
@@ -238,31 +313,105 @@ class TpuAligner:
 
     def align_batch(self, audios: list[np.ndarray], texts: list[str],
                     dist_mode: str = "fold") -> list[list[WordSeg]]:
-        """Batch alignment.  Same-transcript batches run fully vectorized
-        (vmap over scoring and Viterbi); mixed transcripts loop."""
+        """Batch alignment.  Same-transcript batches run fully
+        vectorized through the graph-restricted scorer; batches of
+        DIFFERENT transcripts run as ONE multi-graph dispatch (dense
+        scoring + per-row graph Viterbi — see _batch_begin_mixed).
+        SST_MIXED=grouped restores the round-3 per-text-group dispatch
+        for comparison."""
         if len(set(texts)) != 1:
-            # Mixed transcripts: group by text, dispatch every group
-            # (begin), then collect (end) -- group k+1's host FE and
-            # upload overlap group k's device compute, so a mixed batch
-            # costs ~one pass, not one pass per distinct text.
-            groups: dict[str, list[int]] = {}
-            for i, t in enumerate(texts):
-                groups.setdefault(t, []).append(i)
+            if os.environ.get("SST_MIXED", "") == "grouped":
+                return self._align_batch_grouped(audios, texts, dist_mode)
             out: list = [None] * len(audios)
-            handles = []
-            for t, idxs in groups.items():
+            graphs, idxs = [], []
+            for i, t in enumerate(texts):
                 try:
-                    g = self.graph_for_text(t)
+                    graphs.append(self.graph_for_text(t))
                 except KeyError:
-                    continue  # unknown word: those utterances stay None
-                handles.append((idxs, self._batch_begin(
-                    g, [audios[i] for i in idxs], dist_mode)))
-            for idxs, h in handles:
-                for i, segs in zip(idxs, self._batch_end(h)):
-                    out[i] = segs
+                    continue  # unknown word: that utterance stays None
+                idxs.append(i)
+            if not idxs:
+                return out
+            h = self._batch_begin_mixed(graphs,
+                                        [audios[i] for i in idxs],
+                                        dist_mode)
+            for i, segs in zip(idxs, self._batch_end(h)):
+                out[i] = segs
             return out
         g = self.graph_for_text(texts[0])
         return self._align_batch_same(audios, g, dist_mode)
+
+    def align_batch_scored(self, audios: list[np.ndarray],
+                           texts: list[str],
+                           dist_mode: str = "fold") -> list:
+        """Batch alignment WITH per-segment scores (WordSeg.score and
+        per-phone scores filled) — the CLI / result-JSON path.  Routes
+        through the multi-graph dense-scoring dispatch even for
+        same-text batches: the dense scorer normalizes 0=best per frame
+        (like acmod's compallsen convention), so cumulative path-score
+        differences give per-segment scores in the same units the
+        reference's result JSON exponentiates (decoder_result_json,
+        decoder.c:1502-1593)."""
+        graphs = [self.graph_for_text(t) for t in texts]
+        prev = self.want_scores
+        self.want_scores = True
+        try:
+            return self._batch_end(
+                self._batch_begin_mixed(graphs, audios, dist_mode))
+        finally:
+            self.want_scores = prev
+
+    def decode_batch_scored(self, audios: list[np.ndarray],
+                            dist_mode: str = "fold") -> list:
+        """decode_batch WITH per-segment scores (see align_batch_scored;
+        needs set_grammar() first).  Returns (hyp, segs) or None per
+        utterance."""
+        g = getattr(self, "_decode_graph", None)
+        if g is None:
+            raise RuntimeError("call set_grammar() first")
+        prev = self.want_scores
+        self.want_scores = True
+        try:
+            handle = self._batch_begin_mixed([g] * len(audios), audios,
+                                             dist_mode)
+        finally:
+            self.want_scores = prev
+        _, Ts, paths_d, pscore_d, _final_d, realB = handle
+        paths = np.asarray(paths_d)
+        pscores = np.asarray(pscore_d)
+        results = []
+        for i in range(realB):
+            try:
+                segs = self._extract_decode(g, paths[i], int(Ts[i]),
+                                            pscores[i])
+                hyp = " ".join(
+                    self.dict.wordstr(self.dict.basewid_of(s.wid))
+                    for s in segs if not self.dict.filler_word(s.wid))
+                results.append((hyp, segs))
+            except RuntimeError:
+                results.append(None)
+        return results
+
+    def _align_batch_grouped(self, audios, texts, dist_mode: str):
+        """Round-3 mixed-batch fallback: group by text, dispatch every
+        group (begin), then collect (end) -- group k+1's host FE and
+        upload overlap group k's device compute."""
+        groups: dict[str, list[int]] = {}
+        for i, t in enumerate(texts):
+            groups.setdefault(t, []).append(i)
+        out: list = [None] * len(audios)
+        handles = []
+        for t, idxs in groups.items():
+            try:
+                g = self.graph_for_text(t)
+            except KeyError:
+                continue  # unknown word: those utterances stay None
+            handles.append((idxs, self._batch_begin(
+                g, [audios[i] for i in idxs], dist_mode)))
+        for idxs, h in handles:
+            for i, segs in zip(idxs, self._batch_end(h)):
+                out[i] = segs
+        return out
 
     def _align_batch_same(self, audios, g: AlignGraph, dist_mode: str):
         """Shared-graph batch alignment (also the single-utterance path
@@ -280,23 +429,30 @@ class TpuAligner:
 
     def align_batch_begin(self, audios: list[np.ndarray], texts: list[str],
                           dist_mode: str = "fold"):
-        """Dispatch one same-transcript batch; returns a handle for
-        align_batch_end.  All transcripts must be equal."""
-        if len(set(texts)) != 1:
-            raise ValueError("align_batch_begin needs one shared transcript")
-        g = self.graph_for_text(texts[0])
-        return self._batch_begin(g, audios, dist_mode)
+        """Dispatch one batch; returns a handle for align_batch_end.
+        Same-transcript batches ride the graph-restricted scorer; mixed
+        transcripts the multi-graph single dispatch.  Unknown words
+        raise KeyError — callers needing per-request isolation should
+        resolve graph_for_text per text first."""
+        if len(set(texts)) == 1:
+            g = self.graph_for_text(texts[0])
+            return self._batch_begin(g, audios, dist_mode)
+        graphs = [self.graph_for_text(t) for t in texts]
+        return self._batch_begin_mixed(graphs, audios, dist_mode)
 
     def align_batch_end(self, handle) -> list[list[WordSeg]]:
         """Fetch + extract the results of an align_batch_begin batch."""
         return self._batch_end(handle)
 
     def _batch_end(self, handle):
-        g, Ts, paths_d, final_d, realB = handle
+        g, Ts, paths_d, pscore_d, final_d, realB = handle
         paths = np.asarray(paths_d)
+        pscores = None if pscore_d is None else np.asarray(pscore_d)
         final_sc = np.asarray(final_d)
         return [
-            self._extract_safe(g, paths[i], int(Ts[i]), int(final_sc[i]))
+            self._extract_safe(g[i] if isinstance(g, list) else g,
+                               paths[i], int(Ts[i]), int(final_sc[i]),
+                               None if pscores is None else pscores[i])
             for i in range(realB)
         ]
 
@@ -314,17 +470,17 @@ class TpuAligner:
         realB = len(audios)
         if realB == 0:
             return (g, np.zeros(0, np.int64), np.zeros((0, 0), np.int16),
-                    np.zeros(0, np.int32), 0)
+                    None, np.zeros(0, np.int32), 0)
         # Bucket the batch size so serving-style variable batches reuse
         # a bounded set of compiled shapes (first TPU compile of a new
         # shape is ~20-40s); pad rows repeat the last utterance and are
         # dropped in _batch_end.
-        B = (-(-realB // 8) * 8 if realB <= 64
+        B = (max(8, 1 << (realB - 1).bit_length()) if realB <= 64
              else -(-realB // 64) * 64)
         audios = list(audios) + [audios[-1]] * (B - realB)
         ns = np.array([len(a) for a in audios])
         Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
-        Tmax = max(64, -(-int(Ts.max()) // 64) * 64)
+        Tmax = max(64, self.tmax_floor, -(-int(Ts.max()) // 64) * 64)
         chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "64")))
         buf = None
         fe_futs = None
@@ -365,17 +521,159 @@ class TpuAligner:
             sen_chunks.append(sen_g)
         sen_all = sen_chunks[0] if len(sen_chunks) == 1 \
             else jnp.concatenate(sen_chunks, axis=0)
-        paths, final_sc = self._vit_full(g, sen_all,
-                                         jax.device_put(Ts.astype(np.int32)))
+        paths, pscore, final_sc = self._vit_full(
+            g, sen_all, jax.device_put(Ts.astype(np.int32)))
         paths.copy_to_host_async()
+        if pscore is not None:
+            pscore.copy_to_host_async()
         final_sc.copy_to_host_async()
-        return (g, Ts[:realB], paths, final_sc, realB)
+        return (g, Ts[:realB], paths, pscore, final_sc, realB)
 
-    def _extract_safe(self, g, path, T, final_score):
+    def _batch_begin_mixed(self, graphs: list, audios, dist_mode: str):
+        """ONE dispatch chain for a batch of DIFFERENT transcripts.
+
+        Stages (none closes over graph data, so compiled shapes depend
+        only on batch geometry + the (P, K) graph size class, never on
+        transcripts — a new transcript costs a host graph build, not a
+        recompile):
+
+        1. dense grouped senone scoring over all rows' frames
+           (score_frames; transcript-independent),
+        2. a per-row column gather into each row's graph-state order
+           (_gather_cols with stack_graphs' sencols),
+        3. per-row-graph lane-major Viterbi: align_viterbi_batch's
+           [B, ...] form over stack_graphs tensors.
+
+        This replaces the round-3 per-text-group dispatch, which ran
+        4.5x slower than the same-transcript path on 64 unique
+        transcripts (VERDICT r3 item 1) — the reference's real workload
+        is one transcript per document (js/api.js:491)."""
+        realB = len(audios)
+        if realB == 0:
+            return ([], np.zeros(0, np.int64), np.zeros((0, 0), np.int16),
+                    None, np.zeros(0, np.int32), 0)
+        B = (max(8, 1 << (realB - 1).bit_length()) if realB <= 64
+             else -(-realB // 64) * 64)
+        audios = list(audios) + [audios[-1]] * (B - realB)
+        graphs = list(graphs) + [graphs[-1]] * (B - realB)
+        st = self._stacked_graphs(graphs)
+        ns = np.array([len(a) for a in audios])
+        Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
+        Tmax = max(64, self.tmax_floor, -(-int(Ts.max()) // 64) * 64)
+        chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "64")))
+        buf = None
+        fe_futs = None
+        if self.native_fe is None or self.wire != "i16p":
+            buf = np.zeros((B, int(ns.max())), np.int16)
+            for i, a in enumerate(audios):
+                buf[i, : len(a)] = a
+        else:
+            if not hasattr(self, "_fe_pool"):
+                from concurrent.futures import ThreadPoolExecutor
+                self._fe_pool = ThreadPoolExecutor(max_workers=1)
+            fe_futs = [
+                self._fe_pool.submit(self.native_fe.process_list_i16p,
+                                     audios[i0:i0 + chunk], Tmax,
+                                     self.wire_scale)
+                for i0 in range(0, B, chunk)
+            ]
+        sen_chunks = []
+        for ci, i0 in enumerate(range(0, B, chunk)):
+            Ts_d = jax.device_put(Ts[i0:i0 + chunk])
+            if fe_futs is not None:
+                pl = fe_futs[ci].result()
+                feats = self._feats_chunk_planes(jax.device_put(pl), Ts_d,
+                                                 Tmax)
+            elif self.native_fe is not None:
+                cep = self.native_fe.process_batch(
+                    buf[i0:i0 + chunk], ns[i0:i0 + chunk], Tmax)
+                feats = self._feats_chunk_cep(jax.device_put(cep), Ts_d,
+                                              Tmax)
+            else:
+                feats = self._feats_chunk_raw(
+                    jax.device_put(buf[i0:i0 + chunk]),
+                    jax.device_put(ns[i0:i0 + chunk]), Ts_d, Tmax)
+            flat = feats.reshape((-1,) + feats.shape[2:])
+            dense = score_frames(self.tables, flat, dist_mode)  # [cT, G]
+            dense = dense.reshape(feats.shape[0], Tmax, -1)
+            sen_chunks.append(_gather_cols(dense, st["sencols"][i0:i0 + chunk]))
+        sen_all = sen_chunks[0] if len(sen_chunks) == 1 \
+            else jnp.concatenate(sen_chunks, axis=0)
+        paths, pscore, final_sc = self._vit_full_mg(
+            st, sen_all, jax.device_put(Ts.astype(np.int32)))
+        paths.copy_to_host_async()
+        if pscore is not None:
+            pscore.copy_to_host_async()
+        final_sc.copy_to_host_async()
+        return (graphs[:realB], Ts[:realB], paths, pscore, final_sc, realB)
+
+    def _stacked_graphs(self, graphs: list):
+        """stack_graphs + device upload, cached by the graph-id tuple
+        (steady-state serving repeats batch compositions; the stack is
+        a few ms of host work + ~MBs of upload, worth skipping)."""
+        if not hasattr(self, "_stack_cache"):
+            self._stack_cache = {}
+        key = tuple(id(g) for g in graphs)
+        st = self._stack_cache.get(key)
+        if st is None:
+            raw = stack_graphs(graphs, self.am.tmat.astype(np.int32),
+                               self.tables.sen_remap)
+            st = {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+                  for k, v in raw.items()}
+            if len(self._stack_cache) >= 32:
+                self._stack_cache.pop(next(iter(self._stack_cache)))
+            self._stack_cache[key] = st
+        return st
+
+    def _vit_full_mg(self, st: dict, sen_all, Ts_d):
+        """Whole-batch per-row-graph Viterbi + masked final-node select
+        + batched backtrace.  One jax.jit: its cache keys on shapes
+        (B, T, S, K), i.e. on size classes only."""
+        if not hasattr(self, "_vit_mg_jit"):
+            self._vit_mg_jit = {}
+        ws = self.want_scores
+        vit_j = self._vit_mg_jit.get(ws)
+        if vit_j is None:
+            def run(sg, tp, pi, pp, pk, ast, aen, entry, finmask, Ts):
+                tok_id, tok_sc, out_score, out_hist = align_viterbi_batch(
+                    sg, tp, pi, pp, pk, ast, aen, Ts, ws, entry)
+                worst = jnp.int32(WORST_SCORE)
+                fsc = jnp.where(finmask, out_score, worst)  # [B, P]
+                final_node = jnp.argmax(fsc, axis=1)
+                rows = jnp.arange(sg.shape[0])
+                fscore = fsc[rows, final_node]
+                # no final node reached -> backtrace from -1 so
+                # extraction reports failure for that row only
+                fstate = jnp.where(fscore > worst,
+                                   out_hist[rows, final_node], -1)
+
+                if ws:
+                    def bt_one(tid, tsc, st_, sc_, T):
+                        return backtrace(tid, tsc, st_, sc_, T)
+
+                    path, pscore = jax.vmap(bt_one)(
+                        tok_id, tok_sc, fstate, fscore, Ts)
+                else:
+                    def bt_one(tid, st_, sc_, T):
+                        return backtrace(tid, None, st_, sc_, T)[0]
+
+                    path = jax.vmap(bt_one)(tok_id, fstate, fscore, Ts)
+                    pscore = None
+                if sg.shape[-1] < 32767:
+                    path = path.astype(jnp.int16)
+                return path, pscore, fscore
+
+            vit_j = self._vit_mg_jit[ws] = jax.jit(run)
+        return vit_j(sen_all, st["tp"], st["pred_idx"],
+                     st["pred_pen"], st["pred_ok"],
+                     st["astart"], st["aend"], st["entry"],
+                     st["final_mask"], Ts_d)
+
+    def _extract_safe(self, g, path, T, final_score, pscore=None):
         """Per-utterance failure isolation (SURVEY §5: an unreachable
         alignment flags THAT utterance, it doesn't kill the batch)."""
         try:
-            return self._extract(g, path, T, final_score)
+            return self._extract(g, path, T, final_score, pscore)
         except RuntimeError:
             return None
 
@@ -464,13 +762,16 @@ class TpuAligner:
             raise RuntimeError("call set_grammar() first")
         B = len(audios)
         Ts = np.array([self.fe.n_frames(len(a)) for a in audios])
-        _, _, paths_d, _final_d, _realB = self._batch_begin(g, audios,
-                                                            dist_mode)
+        _, _, paths_d, pscore_d, _final_d, _realB = self._batch_begin(
+            g, audios, dist_mode)
         paths = np.asarray(paths_d)
+        pscores = None if pscore_d is None else np.asarray(pscore_d)
         results = []
         for i in range(B):
             try:
-                segs = self._extract_decode(g, paths[i], int(Ts[i]))
+                segs = self._extract_decode(
+                    g, paths[i], int(Ts[i]),
+                    None if pscores is None else pscores[i])
                 hyp = " ".join(
                     self.dict.wordstr(self.dict.basewid_of(s.wid))
                     for s in segs if not self.dict.filler_word(s.wid))
@@ -479,7 +780,8 @@ class TpuAligner:
                 results.append(None)
         return results
 
-    def _extract_decode(self, g: AlignGraph, path, T: int) -> list[WordSeg]:
+    def _extract_decode(self, g: AlignGraph, path, T: int,
+                        pscore=None) -> list[WordSeg]:
         """Decode-path extraction: unlike the alignment chain, a graph
         traversal can RE-ENTER the same node (self-loop grammars).  A
         within-node HMM-state decrease marks the re-entry boundary;
@@ -495,6 +797,13 @@ class TpuAligner:
         ch = np.nonzero(change)[0]
         bounds = [0] + (ch + 2).tolist() + [T]
         nodes_seq = node[ch].tolist() + [int(node[T - 1])]
+        def seg_score(s, e):  # frames [s, e)
+            if pscore is None:
+                return 0
+            hi = int(pscore[min(e, T) - 1])
+            lo = int(pscore[s - 1]) if s > 0 else 0
+            return hi - lo
+
         segs: list[WordSeg] = []
         cur_ti = None
         last_pos = -1
@@ -513,8 +822,10 @@ class TpuAligner:
                 segs.append(seg)
                 cur_ti = ti
             seg = segs[-1]
-            seg.phones.append((ci, start, dur, 0))
+            sc = seg_score(start, start + dur)
+            seg.phones.append((ci, start, dur, sc))
             seg.duration = start + dur - seg.start
+            seg.score += sc
             last_pos = pos
         return segs
 
@@ -584,10 +895,9 @@ class TpuAligner:
         return [self._extract_safe(g, paths[i], int(Ts[i]), int(scores[i]))
                 for i in range(B)]
 
-    def _score_chunk_raw(self, g: AlignGraph, buf, ns, Ts, Tmax: int,
-                         dist_mode: str):
-        """Chunk scoring with on-device FE: raw int16 audio [B, N] in,
-        graph-gathered senone scores [B, Tmax, S] int32 out."""
+    def _feats_chunk_raw(self, buf, ns, Ts, Tmax: int):
+        """Dynamic features with on-device FE: raw int16 audio [B, N]
+        in, features [B, Tmax, F, L] out."""
         def fe_one(audio, n, T):
             cep = self.fe.mfcc(audio.astype(jnp.float32), n, Tmax)
             return feats_full_utt(cep, T, self.config["cmn"])
@@ -602,15 +912,19 @@ class TpuAligner:
         fe_j = self._fe_batch_jit.get(key)
         if fe_j is None:
             fe_j = self._fe_batch_jit[key] = jax.jit(jax.vmap(fe_one))
-        feats = fe_j(buf, ns, Ts)                       # [B,T,F,L]
+        return fe_j(buf, ns, Ts)                        # [B,T,F,L]
+
+    def _score_chunk_raw(self, g: AlignGraph, buf, ns, Ts, Tmax: int,
+                         dist_mode: str):
+        """Chunk scoring with on-device FE: raw int16 audio [B, N] in,
+        graph-gathered senone scores [B, Tmax, S] int32 out."""
+        feats = self._feats_chunk_raw(buf, ns, Ts, Tmax)
         return self._score_graph_batch(g, feats, Tmax, dist_mode)
 
-    def _score_chunk_cep(self, g: AlignGraph, cep, Ts, Tmax: int,
-                         dist_mode: str):
-        """Chunk scoring when cepstra came from the host FE: [B, Tmax,
-        ncep] float32 in (bit-exact with the device FE; see
-        fe/native_fe.py), vmapped dynamic-feature computation on device,
-        then shared scoring + graph gather."""
+    def _feats_chunk_cep(self, cep, Ts, Tmax: int):
+        """Dynamic features when cepstra came from the host FE: [B,
+        Tmax, ncep] float32 in (bit-exact with the device FE; see
+        fe/native_fe.py), vmapped feature computation on device."""
         cmn = self.config["cmn"]
 
         def feat_one(c, T):
@@ -622,12 +936,15 @@ class TpuAligner:
         fj = self._feat_batch_jit.get(key)
         if fj is None:
             fj = self._feat_batch_jit[key] = jax.jit(jax.vmap(feat_one))
-        feats = fj(cep, Ts)                             # [B,T,F,L]
+        return fj(cep, Ts)                              # [B,T,F,L]
+
+    def _score_chunk_cep(self, g: AlignGraph, cep, Ts, Tmax: int,
+                         dist_mode: str):
+        feats = self._feats_chunk_cep(cep, Ts, Tmax)
         return self._score_graph_batch(g, feats, Tmax, dist_mode)
 
-    def _score_chunk_planes(self, g: AlignGraph, pl, Ts, Tmax: int,
-                            dist_mode: str):
-        """Chunk scoring from wire-quantized byte-plane cepstra (see
+    def _feats_chunk_planes(self, pl, Ts, Tmax: int):
+        """Dynamic features from wire-quantized byte-plane cepstra (see
         NativeFrontend.process_batch_i16p): pl uint8 [2, B, Tmax, ncep].
         Dequant (hi << 8 | lo) / scale is folded into the feat jit;
         exact for power-of-two scales."""
@@ -645,7 +962,11 @@ class TpuAligner:
         fj = self._featp_batch_jit.get(key)
         if fj is None:
             fj = self._featp_batch_jit[key] = jax.jit(jax.vmap(feat_one))
-        feats = fj(pl[0], pl[1], Ts)                    # [B,T,F,L]
+        return fj(pl[0], pl[1], Ts)                     # [B,T,F,L]
+
+    def _score_chunk_planes(self, g: AlignGraph, pl, Ts, Tmax: int,
+                            dist_mode: str):
+        feats = self._feats_chunk_planes(pl, Ts, Tmax)
         return self._score_graph_batch(g, feats, Tmax, dist_mode)
 
     def _graph_consts(self, g: AlignGraph):
@@ -687,33 +1008,42 @@ class TpuAligner:
 
     def _vit_full(self, g: AlignGraph, sen_g, Ts):
         """Whole-batch lane-major Viterbi + final-node select + batched
-        backtrace.  sen_g [B, T, S] int32 graph-gathered scores."""
+        backtrace.  sen_g [B, T, S] int32 graph-gathered scores.
+        Returns (path [B,T], path_score [B,T] or None, final [B])."""
         c = self._graph_consts(g)
         if not hasattr(self, "_vit_batch_jit"):
             self._vit_batch_jit = {}
-        gkey = (id(g), sen_g.shape)
+        ws = self.want_scores
+        gkey = (id(g), sen_g.shape, ws)
         vit_j = self._vit_batch_jit.get(gkey)
         if vit_j is None:
             fin = c["fin"]
 
             def run(sg, Ts):
-                tok_id, _, out_score, out_hist = align_viterbi_batch(
+                tok_id, tok_sc, out_score, out_hist = align_viterbi_batch(
                     sg, c["tp"], c["pi"], c["pp"], c["pk"], c["ast"],
-                    c["aen"], Ts, False, c["entry"])
+                    c["aen"], Ts, ws, c["entry"])
                 fsc = out_score[:, fin]                    # [B, F]
                 best = jnp.argmax(fsc, axis=1)
                 final_node = fin[best]                     # [B]
                 rows = jnp.arange(sg.shape[0])
                 fstate = out_hist[rows, final_node]
                 fscore = out_score[rows, final_node]
-                def bt_one(tid, st, sc, T):
-                    p, _ = backtrace(tid, None, st, sc, T)
-                    return p
+                if ws:
+                    def bt_one(tid, tsc, st, sc, T):
+                        return backtrace(tid, tsc, st, sc, T)
 
-                path = jax.vmap(bt_one)(tok_id, fstate, fscore, Ts)
+                    path, pscore = jax.vmap(bt_one)(
+                        tok_id, tok_sc, fstate, fscore, Ts)
+                else:
+                    def bt_one(tid, st, sc, T):
+                        return backtrace(tid, None, st, sc, T)[0]
+
+                    path = jax.vmap(bt_one)(tok_id, fstate, fscore, Ts)
+                    pscore = None
                 if sg.shape[-1] < 32767:
                     path = path.astype(jnp.int16)   # halves the d2h bytes
-                return path, fscore
+                return path, pscore, fscore
 
             vit_j = self._vit_batch_jit[gkey] = jax.jit(run)
         return vit_j(sen_g, Ts)

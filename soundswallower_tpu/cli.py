@@ -7,6 +7,12 @@ alignments.
   soundswallower --grammar input.gram audio.wav
   soundswallower --fsg input.fsg audio.wav
   soundswallower --model fr-fr ...
+
+By default alignment/decoding rides the TPU fast path (TpuAligner: one
+batched dispatch over all input files).  ``--exact`` switches to the
+bit-exact reference-parity decoder (Decoder: the two-pass FSG + state
+alignment used by the byte-parity test suite), which also serves
+``--state-align`` (the fast path reports word + phone levels).
 """
 
 from __future__ import annotations
@@ -17,7 +23,9 @@ import os
 import sys
 from typing import Optional, Sequence
 
-from . import get_model_path
+import numpy as np
+
+from . import get_audio_data, get_model_path
 from .config import Config
 from .decoder import Decoder
 
@@ -44,7 +52,10 @@ def make_argparse() -> argparse.ArgumentParser:
     parser.add_argument("--phone-align", action="store_true",
                         help="Produce phone-level alignments")
     parser.add_argument("--state-align", action="store_true",
-                        help="Produce state-level alignments")
+                        help="Produce state-level alignments (exact path)")
+    parser.add_argument("--exact", action="store_true",
+                        help="Use the bit-exact reference-parity decoder "
+                             "instead of the TPU fast path")
     grammars = parser.add_mutually_exclusive_group()
     grammars.add_argument("-a", "--align", help="Input text file for force alignment.")
     grammars.add_argument("-t", "--align-text", help="Input text for force alignment.")
@@ -107,16 +118,13 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         pass
     else:
         return  # Nothing to do!
-    decoder = Decoder(config)
-    if args.align_text is not None:
-        decoder.set_align_text(args.align_text)
     # reference behavior: align_level = bool(phone_align) (cli.py:166);
     # --state-align is our extension for level 2
     align_level = 2 if args.state_align else (1 if args.phone_align else 0)
-    results = []
-    for input_file in args.inputs:
-        decoder.decode_file(input_file)
-        results.append(decoder.dumps(align_level=align_level))
+    if args.exact or args.state_align:
+        results = _run_exact(config, args, align_level)
+    else:
+        results = _run_fast(config, args, align_level)
     if args.output is not None:
         with open(args.output, "w") as outfh:
             for json_line in results:
@@ -124,6 +132,70 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     else:
         for json_line in results:
             print(json_line, end="")
+
+
+def _run_exact(config: Config, args, align_level: int) -> list:
+    """Reference-parity path: the two-pass Decoder (byte-identical
+    result JSON vs the C library; minutes per utterance on CPU)."""
+    decoder = Decoder(config)
+    if args.align_text is not None:
+        decoder.set_align_text(args.align_text)
+    results = []
+    for input_file in args.inputs:
+        decoder.decode_file(input_file)
+        results.append(decoder.dumps(align_level=align_level))
+    return results
+
+
+def _run_fast(config: Config, args, align_level: int) -> list:
+    """TPU fast path: all input files of one sample rate go through ONE
+    batched dispatch (align_batch_scored / decode_batch_scored), output
+    in the same line-JSON schema as the reference CLI."""
+    from .aligner import TpuAligner, result_json_from_segs
+
+    loaded = []
+    for input_file in args.inputs:
+        data, rate = get_audio_data(input_file)
+        loaded.append((np.frombuffer(data, np.int16), rate))
+    results: list = [None] * len(loaded)
+    # group by sample rate (one aligner/FE per rate; raw files inherit
+    # the configured rate like decoder_process defaults)
+    by_rate: dict = {}
+    for i, (_, rate) in enumerate(loaded):
+        by_rate.setdefault(rate, []).append(i)
+    for rate, idxs in by_rate.items():
+        if rate is not None:
+            config["samprate"] = rate
+        al = TpuAligner(config)
+        frate = al.config.get_int("frate")
+        audios = [loaded[i][0] for i in idxs]
+        if args.align_text is not None:
+            segs_list = al.align_batch_scored(
+                audios, [args.align_text] * len(audios))
+            outs = []
+            for segs in segs_list:
+                if segs is None:
+                    raise RuntimeError("Alignment failed")
+                outs.append((None, segs))
+        else:
+            if args.grammar:
+                al.set_grammar(jsgf_file=args.grammar)
+            else:
+                from .fsg import FsgModel
+                fsg = FsgModel.read_fsg_file(
+                    args.fsg, al.lmath, al.config.get_float("lw"))
+                al.set_grammar(fsg=fsg)
+            outs = []
+            for res in al.decode_batch_scored(audios):
+                if res is None:
+                    raise RuntimeError("Decode failed")
+                outs.append(res)
+        for i, (hyp, segs) in zip(idxs, outs):
+            n_frames = segs[-1].start + segs[-1].duration if segs else 0
+            results[i] = result_json_from_segs(
+                segs, al.lmath, n_frames, frate, hyp=hyp,
+                align_level=align_level)
+    return results
 
 
 if __name__ == "__main__":

@@ -18,11 +18,22 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from .logmath import SENSCR_SHIFT, LogMath
 
 MAX_NEG_INT32 = -2147483648
 WORST_SCORE = -0x20000000
 MAX_PATHS = 500
+
+
+def _ascale_term(ascr: int, ascale: float) -> int:
+    """``(int32)((ascr << SENSCR_SHIFT) * ascale)`` with C float32
+    arithmetic: the int32 shift result is promoted to FLOAT (not
+    double) for the multiply, so products above 2^24 lose low bits
+    exactly as the reference does (ps_lattice.c:824,978-985,911)."""
+    return int(np.float32(np.int32(ascr << SENSCR_SHIFT)) *
+               np.float32(ascale))
 
 
 class LatNode:
@@ -253,7 +264,7 @@ class Lattice:
         for link in self.edges_topological():
             if link.path_scr == MAX_NEG_INT32:
                 continue
-            link.alpha += int((link.ascr << SENSCR_SHIFT) * ascale)
+            link.alpha += _ascale_term(link.ascr, ascale)
             for x in link.dst.exits:
                 x.alpha = lmath.add(x.alpha, link.alpha)
                 score = link.path_scr + x.ascr
@@ -268,13 +279,20 @@ class Lattice:
             if x.path_scr > bestescr:
                 bestescr = x.path_scr
                 bestend = x
-        self.norm += int((self.final_node_ascr << SENSCR_SHIFT) * ascale)
+        # C quirk (ps_lattice.c:890): ``dag->norm +=
+        # (int32)(final_node_ascr << SHIFT) * ascale`` — the += runs in
+        # FLOAT (norm promotes to float32, truncating its low bits),
+        # unlike every other term site which casts the product to int32
+        self.norm = int(np.float32(
+            np.float32(self.norm)
+            + np.float32(np.int32(self.final_node_ascr << SENSCR_SHIFT))
+            * np.float32(ascale)))
         return bestend
 
     def joint(self, link: LatLink | None, ascale: float) -> int:
-        jprob = int((self.final_node_ascr << SENSCR_SHIFT) * ascale)
+        jprob = _ascale_term(self.final_node_ascr, ascale)
         while link is not None:
-            jprob += int((link.ascr << SENSCR_SHIFT) * ascale)
+            jprob += _ascale_term(link.ascr, ascale)
             link = link.best_prev
         return jprob
 
@@ -292,12 +310,12 @@ class Lattice:
                 if link.path_scr > bestescr:
                     bestescr = link.path_scr
                     bestend = link
-                link.beta = int((self.final_node_ascr << SENSCR_SHIFT) * ascale)
+                link.beta = _ascale_term(self.final_node_ascr, ascale)
             else:
                 for x in link.dst.exits:
                     link.beta = lmath.add(
                         link.beta,
-                        x.beta + int((x.ascr << SENSCR_SHIFT) * ascale))
+                        x.beta + _ascale_term(x.ascr, ascale))
         return self.joint(bestend, ascale) - self.norm
 
     def hyp(self, bestend: LatLink) -> str:

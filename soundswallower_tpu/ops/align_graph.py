@@ -253,9 +253,17 @@ def pad_graph(g: AlignGraph, multiple: int | None = None) -> AlignGraph:
     if multiple is None:
         multiple = max(1, int(os.environ.get("SST_GRAPH_PAD", "1")))
     P = len(g.ssid)
-    Pp = -(-P // multiple) * multiple
+    return pad_graph_to(g, -(-P // multiple) * multiple)
+
+
+def pad_graph_to(g: AlignGraph, Pp: int) -> AlignGraph:
+    """Pad the node count to exactly ``Pp`` (see pad_graph for the pad
+    node semantics: impossible window, no edges, never on a path)."""
+    P = len(g.ssid)
     if Pp == P:
         return g
+    if Pp < P:
+        raise ValueError(f"cannot pad {P} nodes down to {Pp}")
     k = Pp - P
 
     def padv(a, fill):
@@ -273,3 +281,56 @@ def pad_graph(g: AlignGraph, multiple: int | None = None) -> AlignGraph:
         pos_of=padv(g.pos_of, 0), cipid=padv(g.cipid, 0),
         final_nodes=g.final_nodes, wids=list(g.wids),
     )
+
+
+def stack_graphs(graphs: list[AlignGraph], tmat: np.ndarray,
+                 sen_remap: np.ndarray,
+                 p_mult: int = 32, k_mult: int = 2) -> dict:
+    """Pad a batch of (generally DIFFERENT) graphs to a shared
+    (node-count, in-degree) size class and stack their tensors, so one
+    multi-graph Viterbi dispatch covers the whole batch
+    (align_viterbi_batch's per-row form).
+
+    The node count pads to a multiple of ``p_mult`` of the batch max
+    and the predecessor slot count to a multiple of ``k_mult``: the
+    compiled-shape universe is bounded by SIZE CLASSES, not by
+    transcripts, so a new transcript costs a host-side graph build
+    (milliseconds) and never a recompile once its class is warm.
+
+    Returns a dict of host arrays: tp [B,P,3,4] i32, pred_idx/pred_pen
+    [B,P,K] i32, pred_ok [B,P,K] bool, astart/aend/entry [B,P] i32,
+    final_mask [B,P] bool, sencols [B,P*3] i32 (columns into the
+    GROUPED dense score layout — tables.sen_remap applied).
+    """
+    from .align_jax import WORST_SCORE, build_pred_table
+
+    B = len(graphs)
+    P = max(len(g.ssid) for g in graphs)
+    P = -(-P // p_mult) * p_mult
+    K = 1
+    for g in graphs:
+        if len(g.edge_dst):
+            K = max(K, int(np.bincount(g.edge_dst).max()))
+    K = -(-K // k_mult) * k_mult
+    tp = np.zeros((B, P, 3, 4), np.int32)
+    pi = np.zeros((B, P, K), np.int32)
+    pp = np.zeros((B, P, K), np.int32)
+    pk = np.zeros((B, P, K), bool)
+    astart = np.ones((B, P), np.int32)
+    aend = np.zeros((B, P), np.int32)
+    entry = np.full((B, P), WORST_SCORE, np.int32)
+    final_mask = np.zeros((B, P), bool)
+    sencols = np.zeros((B, P * 3), np.int32)
+    for b, g0 in enumerate(graphs):
+        g = pad_graph_to(g0, P)
+        tp[b] = tmat[g.tmatid]
+        pi[b], pp[b], pk[b] = build_pred_table(
+            g.edge_src, g.edge_dst, g.edge_pen, P, k_pad=K)
+        astart[b] = g.astart
+        aend[b] = g.aend
+        entry[b] = np.where(g.is_entry, g.entry_pen, WORST_SCORE)
+        final_mask[b, g.final_nodes] = True
+        sencols[b] = sen_remap[g.senid].reshape(-1)
+    return dict(tp=tp, pred_idx=pi, pred_pen=pp, pred_ok=pk,
+                astart=astart, aend=aend, entry=entry,
+                final_mask=final_mask, sencols=sencols, P=P, K=K)

@@ -40,6 +40,15 @@ TMAT_WORST = -255
 NEG_INF = jnp.int32(-2147483648)
 
 
+def _scan_unroll(n: int) -> int:
+    """Scan unroll factor: n on accelerators (measured win on the TPU
+    Viterbi), 1 on the CPU backend where XLA's compile time scales with
+    the unrolled body (a cold 8-virtual-device CPU compile of the
+    batched Viterbi measured 184s at unroll=4 — it is what tests and
+    the multichip dryrun pay, with zero runtime upside there)."""
+    return n if jax.default_backend() != "cpu" else 1
+
+
 def _eval_3st(score, hist, out_score, out_hist, senscr, tp, active):
     """Vectorized hmm_vit_eval_3st_lr over phones.
 
@@ -109,14 +118,17 @@ def _eval_3st(score, hist, out_score, out_hist, senscr, tp, active):
     return score, hist, out_score, out_hist, best
 
 
-def build_pred_table(edge_src, edge_dst, edge_pen, n_nodes: int):
+def build_pred_table(edge_src, edge_dst, edge_pen, n_nodes: int,
+                     k_pad: int | None = None):
     """Edge list -> dense padded predecessor table.
 
     Returns (pred_idx [P, K] int32, pred_pen [P, K] int32, pred_ok
-    [P, K] bool) with K = max in-degree; empty slots point at node 0
-    with pred_ok False.  Slots are filled in edge order, so a
-    first-max-wins argmax over slots reproduces the C edge-iteration
-    tie-break (phone_transition, state_align_search.c:108-133).
+    [P, K] bool) with K = max in-degree (or ``k_pad`` if given and
+    larger, so graphs stacked into one batch share a slot count);
+    empty slots point at node 0 with pred_ok False.  Slots are filled
+    in edge order, so a first-max-wins argmax over slots reproduces
+    the C edge-iteration tie-break (phone_transition,
+    state_align_search.c:108-133).
 
     This dense form replaces a segment-max over the edge list: on TPU a
     [P, K] gather + max is a single fused vector op per scan step,
@@ -128,6 +140,10 @@ def build_pred_table(edge_src, edge_dst, edge_pen, n_nodes: int):
     edge_pen = np.asarray(edge_pen)
     counts = np.bincount(edge_dst, minlength=n_nodes)
     K = max(1, int(counts.max()) if len(edge_dst) else 1)
+    if k_pad is not None:
+        if K > k_pad:
+            raise ValueError(f"in-degree {K} exceeds k_pad {k_pad}")
+        K = k_pad
     pred_idx = np.zeros((n_nodes, K), np.int32)
     pred_pen = np.zeros((n_nodes, K), np.int32)
     pred_ok = np.zeros((n_nodes, K), bool)
@@ -254,7 +270,7 @@ def align_viterbi(senscr, senid, tp, pred_idx, pred_pen, pred_ok,
     carry0 = vit_carry0(P, entry_score)
     (score, hist, out_score, out_hist, _), (tok_id, tok_score) = \
         jax.lax.scan(step, carry0, (jnp.arange(T, dtype=i32), sen_all),
-                     unroll=4)
+                     unroll=_scan_unroll(4))
     return tok_id, tok_score, out_score, out_hist
 
 
@@ -263,7 +279,9 @@ def _eval_3st_lanes(score, hist, out_score, out_hist, senscr, tp, active):
     _eval_3st but with the BATCH as the minor (lane) dimension.
 
     score/hist/senscr [P, 3, B], out_score/out_hist [P, B], tp [P, 3, 4]
-    (per-phone constants, broadcast over lanes), active [P, B] bool.
+    (per-phone constants, broadcast over lanes) OR [P, 3, 4, B]
+    (per-LANE transition matrices, the multi-graph batch path),
+    active [P, B] bool.
 
     Why: with [B, P, 3] layouts every per-state array has a minor dim of
     3, which the TPU pads to 128 lanes — 42x wasted vector lanes and HBM
@@ -275,7 +293,9 @@ def _eval_3st_lanes(score, hist, out_score, out_hist, senscr, tp, active):
     i32 = jnp.int32
 
     def tprob(i, j):
-        return -tp[:, i, j][:, None]        # [P, 1] broadcast over lanes
+        t = tp[:, i, j]
+        # [P] -> [P, 1] broadcast over lanes; [P, B] stays per-lane
+        return -(t[:, None] if t.ndim == 1 else t)
 
     s0 = score[:, 0] + -senscr[:, 0]
     s1 = score[:, 1] + -senscr[:, 1]
@@ -337,9 +357,22 @@ def make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok, astart, aend,
     out_score [P,B], out_hist [P,B], best_prev [B]).  n_frames is a
     per-lane [B] vector.  Arithmetic is identical to make_vit_step —
     tests/test_align_tpu.py checks the two paths bit-match.
+
+    Two graph-tensor forms:
+
+    * shared graph (one transcript for the whole batch): tp [P,3,4],
+      pred_* [P,K], astart/aend [P] — per-phone constants broadcast
+      over lanes;
+    * per-lane graphs (a DIFFERENT transcript per batch row, the mixed
+      serving workload): tp [P,3,4,B], pred_* [P,K,B], astart/aend
+      [P,B] — predecessor lookups become per-lane take_along_axis
+      gathers over the phone axis, everything else broadcasts.
     """
     P = tp.shape[0]
     K = pred_idx.shape[1]
+    per_lane = pred_idx.ndim == 3
+    astart_b = astart if astart.ndim == 2 else astart[:, None]  # [P,B]|[P,1]
+    aend_b = aend if aend.ndim == 2 else aend[:, None]
     i32 = jnp.int32
     worst = i32(WORST_SCORE)
     sidx = (jnp.arange(P)[:, None] * 3 + jnp.arange(3)[None, :]).astype(i32)
@@ -348,8 +381,8 @@ def make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok, astart, aend,
         score, hist, out_score, out_hist, best_prev = carry
         t, sen = xs
         valid_frame = (t < n_frames)[None, :]            # [1, B]
-        in_win = (t >= astart) & (t <= aend)             # [P]
-        active = in_win[:, None] & valid_frame           # [P, B]
+        in_win = (t >= astart_b) & (t <= aend_b)         # [P,B] or [P,1]
+        active = in_win & valid_frame                    # [P, B]
 
         # renormalize (state_align_search.c:193-197), per lane
         renorm = ((best_prev - 0x300000) < worst)[None, None, :]
@@ -363,21 +396,32 @@ def make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok, astart, aend,
         # phone transitions: K-slot predecessor max, first-max-wins over
         # slots in edge order (matches build_pred_table + argmax).
         nf = t + 1
-        active_next = active & (nf <= aend)[:, None]
+        active_next = active & (nf <= aend_b)
         ent_score = jnp.full((P, out_score.shape[1]), worst, i32)
         ent_hist = jnp.full_like(out_hist, -1)
         ent_ok = jnp.zeros_like(active)
         for k in range(K):
-            src = pred_idx[:, k]                          # [P]
-            ok_k = pred_ok[:, k][:, None] & active_next[src]
-            val_k = jnp.where(ok_k, out_score[src] + pred_pen[:, k][:, None],
-                              worst)
+            if per_lane:
+                src = pred_idx[:, k, :]                   # [P, B]
+                ok_k = pred_ok[:, k, :] \
+                    & jnp.take_along_axis(active_next, src, axis=0)
+                val_k = jnp.where(
+                    ok_k,
+                    jnp.take_along_axis(out_score, src, axis=0)
+                    + pred_pen[:, k, :], worst)
+                hist_k = jnp.take_along_axis(out_hist, src, axis=0)
+            else:
+                src = pred_idx[:, k]                      # [P]
+                ok_k = pred_ok[:, k][:, None] & active_next[src]
+                val_k = jnp.where(
+                    ok_k, out_score[src] + pred_pen[:, k][:, None], worst)
+                hist_k = out_hist[src]
             upd = val_k > ent_score                       # strict: first wins
             ent_score = jnp.where(upd, val_k, ent_score)
-            ent_hist = jnp.where(upd, out_hist[src], ent_hist)
+            ent_hist = jnp.where(upd, hist_k, ent_hist)
             ent_ok = jnp.where(upd, ok_k, ent_ok)
         ent_hist = jnp.where(ent_ok, ent_hist, -1)
-        can_enter = ent_ok & ((nf >= astart) & (nf <= aend))[:, None] \
+        can_enter = ent_ok & (nf >= astart_b) & (nf <= aend_b) \
             & valid_frame
         do_enter = can_enter & ((~active) | (ent_score > score[:, 0]))
         score = score.at[:, 0].set(
@@ -402,15 +446,16 @@ def make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok, astart, aend,
 
 
 def vit_carry0_lanes(P: int, B: int, entry_score=None):
-    """Initial batch-in-lanes Viterbi carry."""
+    """Initial batch-in-lanes Viterbi carry.  entry_score is [P] (shared
+    graph) or [B, P] (per-lane graphs)."""
     i32 = jnp.int32
     worst = i32(WORST_SCORE)
     score0 = jnp.full((P, 3, B), worst, dtype=i32)
     if entry_score is None:
         score0 = score0.at[0, 0, :].set(0)
     else:
-        score0 = score0.at[:, 0, :].set(
-            entry_score.astype(i32)[:, None])
+        es = entry_score.astype(i32)
+        score0 = score0.at[:, 0, :].set(es.T if es.ndim == 2 else es[:, None])
     hist0 = jnp.full((P, 3, B), -1, dtype=i32)
     out0 = jnp.full((P, B), worst, dtype=i32)
     outh0 = jnp.full((P, B), -1, dtype=i32)
@@ -423,11 +468,18 @@ def align_viterbi_batch(sen_g, tp, pred_idx, pred_pen, pred_ok,
                         entry_score=None):
     """Whole-batch Viterbi with the batch in the lane dimension.
 
-    sen_g [B, T, S=P*3] int32: senone scores already gathered per graph
-    state (the caller folds the [n_sen]->[S] gather into the scoring
-    stage as an exact one-hot f32 matmul — senone scores are < 2^15 so
-    float32 products are exact).
+    sen_g [B, T, S=P*3] int16/int32: senone scores already gathered per
+    graph state (the caller folds the [n_sen]->[S] gather into the
+    scoring stage — as an exact one-hot f32 matmul on the shared-graph
+    path, or a per-row column gather on the mixed path).
     n_frames [B] int32 per-utterance frame counts.
+
+    Graph tensors come in two forms (see make_vit_step_lanes): shared
+    (tp [P,3,4], pred_* [P,K], astart/aend [P], entry_score [P]) or
+    per-row for a batch of DIFFERENT transcripts (tp [B,P,3,4],
+    pred_* [B,P,K], astart/aend [B,P], entry_score [B,P]) — the
+    per-row form is transposed to lane-major here so the batch stays
+    in the vector lanes either way.
 
     Returns (tok_id [B, T, S], tok_score or None, out_score [B, P],
     out_hist [B, P]).  Bit-identical to vmap(align_viterbi) — the lane
@@ -437,6 +489,13 @@ def align_viterbi_batch(sen_g, tp, pred_idx, pred_pen, pred_ok,
     P = S // 3
     i32 = jnp.int32
     tok_dtype = jnp.int16 if S < 32767 else jnp.int32
+    if tp.ndim == 4:                       # per-row graphs -> lane-major
+        tp = tp.transpose(1, 2, 3, 0)                  # [P,3,4,B]
+        pred_idx = pred_idx.transpose(1, 2, 0)         # [P,K,B]
+        pred_pen = pred_pen.transpose(1, 2, 0)
+        pred_ok = pred_ok.transpose(1, 2, 0)
+        astart = astart.T                              # [P,B]
+        aend = aend.T
     sen_l = sen_g.astype(i32).transpose(1, 2, 0).reshape(T, P, 3, B)
     step = make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok,
                                astart, aend, n_frames, with_scores,
@@ -444,7 +503,7 @@ def align_viterbi_batch(sen_g, tp, pred_idx, pred_pen, pred_ok,
     carry0 = vit_carry0_lanes(P, B, entry_score)
     (score, hist, out_score, out_hist, _), (tok_id, tok_score) = \
         jax.lax.scan(step, carry0, (jnp.arange(T, dtype=i32), sen_l),
-                     unroll=4)
+                     unroll=_scan_unroll(4))
     tok_id = tok_id.transpose(2, 0, 1)                    # [B, T, S]
     if with_scores:
         tok_score = tok_score.transpose(2, 0, 1)
@@ -482,5 +541,5 @@ def backtrace(tok_id, tok_score, final_state, final_score, n_frames):
 
     (first_id, _), (path_rev, score_rev) = jax.lax.scan(
         step, (final_state, final_score if with_scores else None),
-        jnp.arange(T - 1, -1, -1, dtype=jnp.int32), unroll=8)
+        jnp.arange(T - 1, -1, -1, dtype=jnp.int32), unroll=_scan_unroll(8))
     return path_rev[::-1], (score_rev[::-1] if with_scores else None)

@@ -42,15 +42,50 @@ class AlignService:
     """Dynamic batcher around TpuAligner.align_batch."""
 
     def __init__(self, aligner, max_batch: int = 64,
-                 max_wait_ms: float = 20.0):
+                 max_wait_ms: float = 20.0, max_inflight: int = 2):
         self.aligner = aligner
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self._q: queue.Queue = queue.Queue()
         self._stop = False
-        self._finisher = None   # tail of the in-order end() chain
+        # Bounded pipeline: the worker may run at most max_inflight
+        # begin()s ahead of the finisher (device buffers + futures for
+        # dispatched batches stay bounded under sustained load); ONE
+        # long-lived finisher thread drains end()s in dispatch order.
+        self._inflight = threading.Semaphore(max_inflight)
+        self._fq: queue.Queue = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
+        self._finisher = threading.Thread(target=self._run_finisher,
+                                          daemon=True)
         self._worker.start()
+        self._finisher.start()
+
+    def prewarm(self, samples, sizes=(8, 16, 32, 64)):
+        """Compile the dispatch paths for the service's batch-size
+        classes up front: a cold size class costs 20-40s at first
+        dispatch on TPU (VERDICT r3 item 7), which would otherwise land
+        on early requests' latency.  ``samples`` is a list of
+        (audio, text) pairs representative of the expected workload;
+        each size class is warmed with the LONGEST samples first so the
+        frame-axis bucket matches what full batches will use.  The
+        persistent compilation cache makes later processes cheap."""
+        if not samples:
+            return
+        ordered = sorted(samples, key=lambda s: -len(s[0]))
+        # Pin ONE frame-axis class for all future batches: without the
+        # floor, a small batch of short utterances lands in a smaller
+        # Tmax bucket than any prewarmed one and pays a cold compile
+        # (measured as a 9s p99 tail against a 160ms p50).
+        longest = len(ordered[0][0])
+        T = self.aligner.fe.n_frames(longest)
+        self.aligner.tmax_floor = max(self.aligner.tmax_floor,
+                                      -(-T // 64) * 64)
+        for n in sizes:
+            if n > self.max_batch:
+                continue
+            idx = [i % len(ordered) for i in range(n)]
+            self.aligner.align_batch([ordered[i][0] for i in idx],
+                                     [ordered[i][1] for i in idx])
 
     def submit(self, audio: np.ndarray, text: str) -> Future:
         fut: Future = Future()
@@ -64,9 +99,8 @@ class AlignService:
         self._stop = True
         self._q.put(None)
         self._worker.join(timeout=5)
-        fin = self._finisher
-        if fin is not None:
-            fin.join(timeout=5)
+        self._fq.put(None)
+        self._finisher.join(timeout=5)
 
     # -- batching worker -----------------------------------------------------
 
@@ -88,30 +122,43 @@ class AlignService:
                 if nxt is None:
                     break
                 batch.append(nxt)
-            audios = [b[0] for b in batch]
-            texts = [b[1] for b in batch]
+            # Unknown words fail only THEIR request, before dispatch.
+            good = []
+            for it in batch:
+                try:
+                    self.aligner.graph_for_text(it[1])
+                except KeyError as e:
+                    it[2].set_exception(
+                        RuntimeError(f"unknown word: {e.args[0]}"))
+                    continue
+                good.append(it)
+            if not good:
+                continue
+            audios = [b[0] for b in good]
+            texts = [b[1] for b in good]
+            # Every batch (same-text or mixed) is ONE dispatch through
+            # the pipelined begin/end split: the next batch's host FE +
+            # upload overlap this one's device compute, with at most
+            # max_inflight dispatched batches outstanding.
+            self._inflight.acquire()
             try:
-                # Same-transcript batches go through the pipelined
-                # begin/end split so the NEXT batch's host FE + upload
-                # can overlap this one's device compute: the finisher
-                # thread runs end() while this worker loops back to
-                # collect and begin() the next batch.
-                if len(set(texts)) == 1:
-                    handle = self.aligner.align_batch_begin(audios, texts)
-                    self._finish(handle, batch)
-                else:
-                    results = self.aligner.align_batch(audios, texts)
-                    self._resolve(results, batch)
+                handle = self.aligner.align_batch_begin(audios, texts)
             except Exception as e:  # per-request isolation
-                LOG.exception("batch of %d failed", len(batch))
-                for _, _, fut in batch:
+                self._inflight.release()
+                LOG.exception("batch of %d failed", len(good))
+                for _, _, fut in good:
                     if not fut.done():
                         fut.set_exception(e)
+                continue
+            self._fq.put((handle, good))
 
-    def _finish(self, handle, batch):
-        """Resolve a dispatched batch on the finisher thread (keeps the
-        batching worker free to begin the next batch)."""
-        def run():
+    def _run_finisher(self):
+        """Single long-lived finisher: drains end() in dispatch order."""
+        while True:
+            item = self._fq.get()
+            if item is None:
+                return
+            handle, batch = item
             try:
                 self._resolve(self.aligner.align_batch_end(handle), batch)
             except Exception as e:
@@ -119,14 +166,8 @@ class AlignService:
                 for _, _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
-        prev = self._finisher
-        def chained():
-            if prev is not None:
-                prev.join()
-            run()
-        t = threading.Thread(target=chained, daemon=True)
-        self._finisher = t
-        t.start()
+            finally:
+                self._inflight.release()
 
     def _resolve(self, results, batch):
         for (_, _, fut), segs in zip(batch, results):
@@ -237,6 +278,10 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--max-wait-ms", type=float, default=20.0)
+    ap.add_argument("--prewarm-text", default=None,
+                    help="Representative transcript: compile the batch "
+                         "size classes at startup instead of on the "
+                         "first requests (silence audio + this text)")
     args = ap.parse_args(argv)
     kw = dict(hmm=args.model)
     if args.dict:
@@ -244,6 +289,11 @@ def main(argv=None):
     aligner = TpuAligner(**kw)
     server = make_server(aligner, args.host, args.port,
                          args.max_batch, args.max_wait_ms)
+    if args.prewarm_text:
+        rate = aligner.config.get_int("samprate")
+        silence = np.zeros(rate, np.int16)  # 1 s
+        LOG.info("prewarming batch size classes...")
+        server.service.prewarm([(silence, args.prewarm_text)])
     LOG.info("serving on %s:%d", args.host, args.port)
     try:
         server.serve_forever()

@@ -82,6 +82,75 @@ def test_align_batch_matches_single(aligner):
         ["go", "forward"]
 
 
+def test_mixed_batch_single_dispatch_matches_single(aligner):
+    """A batch of DIFFERENT transcripts (the ReadAlongs workload shape:
+    one transcript per document, js/api.js:491) through the multi-graph
+    single-dispatch path must reproduce per-utterance align() exactly —
+    words, phones, boundaries.  Audio slices follow the known goforward
+    word boundaries so every sub-transcript genuinely matches its
+    audio."""
+    raw = np.fromfile("/root/reference/tests/data/goforward.raw", np.int16)
+    S = 160  # samples per frame
+    cases = [
+        (raw, "go forward ten meters"),
+        (raw[: 117 * S], "go forward"),
+        (raw[46 * S: 211 * S], "go forward ten meters"),
+        (raw[117 * S:], "ten meters"),
+        (raw[64 * S: 153 * S], "forward ten"),
+        (raw[46 * S: 117 * S], "go forward"),
+        (raw[153 * S:], "meters"),
+    ]
+    audios = [a for a, _ in cases]
+    texts = [t for _, t in cases]
+    mixed = aligner.align_batch(audios, texts)
+    for i, (a, t) in enumerate(cases):
+        single = aligner.align(a, t)
+        assert mixed[i] is not None, f"case {i} failed to align"
+        got = [(s.word, s.start, s.duration,
+                tuple(p[:3] for p in s.phones)) for s in mixed[i]]
+        want = [(s.word, s.start, s.duration,
+                 tuple(p[:3] for p in s.phones)) for s in single]
+        assert got == want, f"case {i} ({t}) diverged from single-path"
+
+
+def test_mixed_batch_unknown_word_isolated(aligner):
+    """An unknown word fails only ITS row (None), not the batch."""
+    raw = np.fromfile("/root/reference/tests/data/goforward.raw", np.int16)
+    out = aligner.align_batch(
+        [raw, raw, raw[: 117 * 160]],
+        ["go forward ten meters", "go xyzzyplugh ten", "go forward"])
+    assert out[0] is not None and out[2] is not None
+    assert out[1] is None
+    assert [s.word for s in out[0] if s.word != "<sil>"] == \
+        ["go", "forward", "ten", "meters"]
+
+
+def test_stack_graphs_size_classes(aligner):
+    """stack_graphs pads to bounded (P, K) size classes and its pad
+    rows/slots can never win: re-stacking a batch with one extra small
+    graph keeps the same class, and the per-row tensors of a graph are
+    independent of its batch neighbors."""
+    from soundswallower_tpu.ops.align_graph import stack_graphs
+
+    g1 = aligner.graph_for_text("go forward ten meters")
+    g2 = aligner.graph_for_text("go forward")
+    g3 = aligner.graph_for_text("meters")
+    tmat = aligner.am.tmat.astype(np.int32)
+    remap = aligner.tables.sen_remap
+    a = stack_graphs([g1, g2], tmat, remap)
+    b = stack_graphs([g1, g3, g2], tmat, remap)
+    assert a["P"] % 32 == 0 and a["K"] % 2 == 0
+    assert a["P"] == b["P"] and a["K"] == b["K"]  # same size class
+    # row tensors identical regardless of neighbors
+    for k in ("tp", "pred_idx", "pred_pen", "pred_ok", "astart", "aend",
+              "entry", "final_mask", "sencols"):
+        assert (a[k][0] == b[k][0]).all(), k
+        assert (a[k][1] == b[k][2]).all(), k
+    # pad rows: inactive windows (astart > aend), WORST entry
+    P1 = len(g2.ssid)
+    assert (b["astart"][2, P1:] > b["aend"][2, P1:]).all()
+
+
 def test_align_phone_level_contiguity(aligner):
     senscr = _grouped_senscr(aligner, "goforward-en")
     T = len(senscr)

@@ -21,6 +21,11 @@ from soundswallower_tpu.serve import AlignService, make_server, segs_to_json
 @pytest.fixture(scope="module")
 def server():
     al = TpuAligner(hmm="/root/reference/model/en-us")
+    # prewarm the size-8 bucket on the main thread (what serve.py
+    # --prewarm-text does): a cold CPU compile would otherwise land on
+    # the first HTTP request's latency and time it out
+    raw = np.fromfile("/root/reference/tests/data/goforward.raw", np.int16)
+    al.align_batch([raw], ["go forward ten meters"])
     srv = make_server(al, "127.0.0.1", 0, max_batch=8, max_wait_ms=200.0)
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()
