@@ -131,7 +131,8 @@ def bench_serve(al, raw, n_req=128, conc=32):
         with ThreadPoolExecutor(max_workers=conc) as ex:
             lat = list(ex.map(one, range(n_req)))
         lat.sort()
-        return lat[len(lat) // 2], lat[int(len(lat) * 0.99)]
+        return (lat[len(lat) // 2], lat[int(len(lat) * 0.95)],
+                lat[int(len(lat) * 0.99)])
     finally:
         svc.close()
 
@@ -153,7 +154,7 @@ def main():
     value = bench_same(al, raw, batch, reps, dist_mode, rng)
     mixed_val, n_distinct = bench_mixed(al, raw, mixed_batch, reps,
                                         dist_mode, rng)
-    p50, p99 = bench_serve(al, raw)
+    p50, p95, p99 = bench_serve(al, raw)
 
     out = {
         "metric": "align_audio_seconds_per_second_per_chip",
@@ -168,6 +169,7 @@ def main():
             "vs_baseline": round(mixed_val / 1000.0, 3),
         },
         "serve_p50_ms": round(p50, 1),
+        "serve_p95_ms": round(p95, 1),
         "serve_p99_ms": round(p99, 1),
     }
     print(json.dumps(out))

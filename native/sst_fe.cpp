@@ -569,6 +569,11 @@ void sst_fe_process_batch(void* h, const int16_t* audio, int B, int64_t N,
 
 // Pointer-array variant of the wire-quantized batch: rows come straight
 // from the caller's per-utterance buffers (no [B, N] padded copy).
+// i16p wire RANGE ASSUMPTION (both variants below): |cep| < 32768/scale
+// (< 128 at the default x256 scale) or the int16 clamp saturates
+// silently.  True for the legacy transform (C0 = mean log mel <= ~39)
+// but NOT for dct/htk C0 = sum(logspec)*sqrt_inv_n, so the aligner
+// defaults those transforms to the exact f32 wire (aligner.py).
 void sst_fe_process_batch_i16p_ptrs(void* h, const int16_t** audios,
                                     const int32_t* n_samps, int B, int Tmax,
                                     uint8_t* out, float scale,

@@ -140,8 +140,19 @@ class TpuAligner:
         # quantization is the only loss and is far below the model's
         # own mixw/score quantization).  SST_WIRE=f32 restores the
         # exact-wire path.
+        #
+        # i16p assumes |cep| < 32768/scale.  At the x256 scale that is
+        # |cep| < 128: safe for the legacy transform (C0 = mean log mel
+        # <= ~39) but dct/htk C0 = sum(logspec) * sqrt_inv_n can reach
+        # ~150 on full-scale audio and would silently saturate (advisor
+        # r3).  dct/htk therefore default to scale 128 (|cep| < 256
+        # headroom, quantization 1/128 — still far below the model's
+        # own mixw/score quantization); SST_WIRE=f32 restores the
+        # exact wire.
         self.wire = os.environ.get("SST_WIRE", "i16p")
-        self.wire_scale = float(os.environ.get("SST_WIRE_SCALE", "256"))
+        default_scale = "256" if config["transform"] == "legacy" else "128"
+        self.wire_scale = float(os.environ.get("SST_WIRE_SCALE",
+                                               default_scale))
         # Frame-axis padding floor (frames, rounded up to 64): serving
         # sets this (AlignService.prewarm) so every batch shares ONE
         # compiled frame-axis class regardless of which utterances land
@@ -155,6 +166,28 @@ class TpuAligner:
         # decoder_result_json decoder.c:1502-1593).  Off by default —
         # it doubles the token-stack HBM traffic on the throughput path.
         self.want_scores = False
+
+        if config["mllr"]:
+            self.update_mllr(config["mllr"])
+
+    def update_mllr(self, path: str):
+        """Apply an MLLR transform to the acoustic model and rebuild the
+        device scoring tables (acmod_update_mllr, acmod.c:316-325; the
+        reference also applies config['mllr'] at init, acmod.c:122-126).
+        Cached graph-restricted scorers are invalidated — they bake the
+        transformed Gaussians."""
+        from .mllr import Mllr, apply_mllr
+
+        apply_mllr(self.am, Mllr(path), self.config)
+        self.tables = ScorerTables.from_am(self.am)
+        if hasattr(self, "_graph_const_cache"):
+            self._graph_const_cache.clear()
+
+    def spectrogram(self, audio: np.ndarray,
+                    smooth: bool = False) -> np.ndarray:
+        """Mel log-spectra [n_frames, nfilt] float32 (the JS binding's
+        spectrogram(), js/soundswallower.c:88-112)."""
+        return self.fe.spectrogram(audio, smooth)
 
     # -- graph -------------------------------------------------------------
 
@@ -227,8 +260,8 @@ class TpuAligner:
         score_frames_graph (senone gather already applied; the identity
         senid makes align_viterbi's internal gather a no-op)."""
         c = self._graph_consts(g)
-        P = len(g.senid)
-        ident = jnp.arange(P * 3, dtype=jnp.int32).reshape(P, 3)
+        P, E = g.senid.shape
+        ident = jnp.arange(P * E, dtype=jnp.int32).reshape(P, E)
         tok_id, _, out_score, out_hist = align_viterbi(
             sen_g, ident, c["tp"], c["pi"], c["pp"], c["pk"],
             c["ast"], c["aen"], T, c["entry"], False)
@@ -275,8 +308,9 @@ class TpuAligner:
             return hi - lo
 
         phones: list[tuple[int, int, int, int]] = []  # node, start, dur, score
+        E = g.senid.shape[1]
         for i, st in enumerate(nodes_seq):
-            node = st // 3
+            node = st // E
             start = bounds[i]
             dur = bounds[i + 1] - bounds[i]
             if dur <= 0:
@@ -791,8 +825,9 @@ class TpuAligner:
         if path[T - 1] < 0:
             raise RuntimeError("Decode failed to reach final state")
         p = np.asarray(path[:T])
-        node = p // 3
-        state = p % 3
+        E = g.senid.shape[1]
+        node = p // E
+        state = p % E
         change = (node[1:] != node[:-1]) | (state[1:] < state[:-1])
         ch = np.nonzero(change)[0]
         bounds = [0] + (ch + 2).tolist() + [T]
@@ -882,9 +917,9 @@ class TpuAligner:
                                               Tmax, dist_mode)
         B = len(audios)
         senscr = np.asarray(sen_g)
-        P = len(g.senid)
+        P, E = g.senid.shape
         entry = np.where(g.is_entry, g.entry_pen, WORST_SCORE).astype(np.int32)
-        senid = np.arange(P * 3, dtype=np.int32).reshape(P, 3)
+        senid = np.arange(P * E, dtype=np.int32).reshape(P, E)
         tp = np.asarray(self.am.tmat.astype(np.int32))[g.tmatid]
         pi, pp, pk = build_pred_table(g.edge_src, g.edge_dst, g.edge_pen,
                                       len(g.senid))

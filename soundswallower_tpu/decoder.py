@@ -721,6 +721,14 @@ class Decoder:
         """decoder_result_json as a str (pyx ``dumps``)."""
         return self.result_json(start, align_level)
 
+    def spectrogram(self, audio: np.ndarray,
+                    smooth: bool = False) -> np.ndarray:
+        """Mel log-spectra [n_frames, nfilt] float32 for visualization —
+        the JS binding's spectrogram() (js/soundswallower.c:88-112,
+        js/api.js:505): raw log mel spectrum, or cepstrally smoothed
+        (DCT-II/DCT-III round trip) when ``smooth``."""
+        return self.fe.spectrogram(audio, smooth)
+
     def reinit_feat(self):
         """decoder_reinit_feat: rebuild the front end from config
         (raises RuntimeError on invalid FE parameters, pyx:360-370)."""

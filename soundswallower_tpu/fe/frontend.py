@@ -473,6 +473,19 @@ class Frontend:
         that advance the noise carry — REQUIRED when the returned state
         feeds a next chunk, else padding pollutes the recurrence.
         Returns (cep, new_noise_state)."""
+        logspec, noise_state = self._logspec_body(signal_f32, n_samps,
+                                                  max_frames, prior,
+                                                  noise_state, n_frames)
+        mfcep = self._dct(logspec)
+        if self._lifter is not None:
+            mfcep = mfcep * jnp.asarray(self._lifter)
+        return mfcep, noise_state
+
+    def _logspec_body(self, signal_f32, n_samps, max_frames: int, prior,
+                      noise_state, n_frames=None):
+        """Shared pipeline through the mel log-spectrum [max_frames,
+        nfilt] float (pre-emphasis, framing, window, FFT, mel,
+        noise removal, log with LOG_FLOOR)."""
         dt = self.dtype
         shift, size, nfft = self.frame_shift, self.frame_size, self.fft_size
         sig = signal_f32
@@ -516,10 +529,63 @@ class Frontend:
             mfspec, noise_state = self._remove_noise_scan(
                 mfspec, noise_state, valid_fr)
         logspec = jnp.log(mfspec + 1e-4)  # LOG_FLOOR, fe_sigproc.c:609
-        mfcep = self._dct(logspec)
-        if self._lifter is not None:
-            mfcep = mfcep * jnp.asarray(self._lifter)
-        return mfcep, noise_state
+        return logspec, noise_state
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def logspec_chunk(self, signal_f32, n_samps, max_frames: int):
+        """Mel log-spectra [max_frames, nfilt] float64 (the f64
+        powspec_t values the C pipeline carries before casting)."""
+        logspec, _ = self._logspec_body(signal_f32, n_samps, max_frames,
+                                        jnp.float32(0.0), self.noise_init())
+        return logspec
+
+    def _smooth_logspec(self, ls: np.ndarray) -> np.ndarray:
+        """SMOOTH_LOG_SPEC (fe_mel_cep, fe_sigproc.c:624-637): DCT-II to
+        num_cepstra coefficients, DCT-III back — cepstral-truncation
+        smoothing.  Pure numpy with the C accumulation dtypes exactly
+        (mfcc_t f32 accumulators rounded per add, powspec_t f64 for the
+        DCT-III sums); the jitted equivalent picked up 1-ulp XLA
+        reassociation diffs, and this is a host visualization API."""
+        T = len(ls)
+        nfilt, ncep = self.num_filters, self.num_cepstra
+        mc = np.asarray(self._mel_cosine, np.float32)
+        cep = np.zeros((T, ncep), np.float32)
+        acc = ls[:, 0].astype(np.float32)
+        for j in range(1, nfilt):
+            acc = (acc.astype(np.float64) + ls[:, j]).astype(np.float32)
+        cep[:, 0] = acc * np.float32(self._sqrt_inv_n)
+        for i in range(1, ncep):
+            acc = np.zeros(T, np.float32)
+            for j in range(nfilt):
+                term = ls[:, j] * np.float64(mc[i, j])
+                acc = (acc.astype(np.float64) + term).astype(np.float32)
+            cep[:, i] = acc * np.float32(self._sqrt_inv_2n)
+        out = np.zeros((T, nfilt), np.float32)
+        sqrt_half = np.float32(0.707106781186548)  # SQRT_HALF, fe.h:367
+        for i in range(nfilt):
+            acc = (cep[:, 0] * sqrt_half).astype(np.float64)
+            for j in range(1, ncep):
+                acc = acc + (cep[:, j] * mc[j, i]).astype(np.float64)
+            out[:, i] = (acc * np.float64(np.float32(self._sqrt_inv_2n))) \
+                .astype(np.float32)
+        return out
+
+    def spectrogram(self, audio: np.ndarray,
+                    smooth: bool = False) -> np.ndarray:
+        """Host helper: int16 samples (or float32 sample values in
+        int16 range) -> [n_frames, nfilt] float32 mel log-spectra —
+        the JS binding's spectrogram() (js/soundswallower.c:88-112):
+        RAW_LOG_SPEC as-is, or SMOOTH_LOG_SPEC when ``smooth``."""
+        audio = np.asarray(audio)
+        n = len(audio)
+        nfr = self.n_frames(n)
+        if nfr == 0:
+            return np.zeros((0, self.num_filters), np.float32)
+        sig = jnp.asarray(audio.astype(np.float32))
+        ls = np.asarray(self.logspec_chunk(sig, n, nfr), np.float64)[:nfr]
+        if smooth:
+            return self._smooth_logspec(ls)
+        return ls.astype(np.float32)
 
     # -- convenience -------------------------------------------------------
 

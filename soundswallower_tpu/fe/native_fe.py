@@ -30,13 +30,29 @@ _LIB_TRIED = False
 _TRANSFORM_ID = {"legacy": 0, "dct": 1, "htk": 2}
 
 
+def _cpu_has_avx512f() -> bool:
+    """Runtime ISA probe (Linux): the AVX-512 build is only loaded on
+    hosts whose cpuinfo advertises avx512f — the portable build is the
+    fallback everywhere else (advisor r3: a hard -mavx512f requirement
+    SIGILLed on older x86 and broke ARM)."""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            return "avx512f" in fh.read()
+    except OSError:
+        return False
+
+
 def _lib():
     global _LIB, _LIB_TRIED
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
     from ..utils.native_build import load_native
-    lib = load_native("libsst_fe.so")
+    lib = None
+    if _cpu_has_avx512f():
+        lib = load_native("libsst_fe_avx512.so")
+    if lib is None:
+        lib = load_native("libsst_fe.so")
     if lib is None:
         return None
     c = ctypes

@@ -41,7 +41,7 @@ START = -2  # sentinel predecessor: utterance start
 class AlignGraph:
     ssid: np.ndarray       # int32 [P]
     tmatid: np.ndarray     # int32 [P]
-    senid: np.ndarray      # int32 [P, 3]
+    senid: np.ndarray      # int32 [P, n_emit] (3- or 5-state models)
     edge_src: np.ndarray   # int32 [E] sorted by edge_dst
     edge_dst: np.ndarray   # int32 [E]
     edge_pen: np.ndarray   # int32 [E]
@@ -185,9 +185,10 @@ def build_chain_graph(
 
     # Assemble arrays
     P = len(nodes)
+    n_emit = am.mdef.n_emit_state
     ssid = np.zeros(P, np.int32)
     tmatid = np.zeros(P, np.int32)
-    senid = np.zeros((P, 3), np.int32)
+    senid = np.zeros((P, n_emit), np.int32)
     entry_pen = np.zeros(P, np.int32)
     is_entry = np.zeros(P, bool)
     word_of = np.zeros(P, np.int32)
@@ -305,6 +306,7 @@ def stack_graphs(graphs: list[AlignGraph], tmat: np.ndarray,
     from .align_jax import WORST_SCORE, build_pred_table
 
     B = len(graphs)
+    E = graphs[0].senid.shape[1]          # emitting states (3 or 5)
     P = max(len(g.ssid) for g in graphs)
     P = -(-P // p_mult) * p_mult
     K = 1
@@ -312,7 +314,7 @@ def stack_graphs(graphs: list[AlignGraph], tmat: np.ndarray,
         if len(g.edge_dst):
             K = max(K, int(np.bincount(g.edge_dst).max()))
     K = -(-K // k_mult) * k_mult
-    tp = np.zeros((B, P, 3, 4), np.int32)
+    tp = np.zeros((B, P) + tmat.shape[1:], np.int32)
     pi = np.zeros((B, P, K), np.int32)
     pp = np.zeros((B, P, K), np.int32)
     pk = np.zeros((B, P, K), bool)
@@ -320,7 +322,7 @@ def stack_graphs(graphs: list[AlignGraph], tmat: np.ndarray,
     aend = np.zeros((B, P), np.int32)
     entry = np.full((B, P), WORST_SCORE, np.int32)
     final_mask = np.zeros((B, P), bool)
-    sencols = np.zeros((B, P * 3), np.int32)
+    sencols = np.zeros((B, P * E), np.int32)
     for b, g0 in enumerate(graphs):
         g = pad_graph_to(g0, P)
         tp[b] = tmat[g.tmatid]

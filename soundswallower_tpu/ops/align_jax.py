@@ -118,6 +118,111 @@ def _eval_3st(score, hist, out_score, out_hist, senscr, tp, active):
     return score, hist, out_score, out_hist, best
 
 
+def _eval_5st(score, hist, out_score, out_hist, senscr, tp, active):
+    """Vectorized hmm_vit_eval_5st_lr over phones (hmm.c:166-305; the
+    scalar spec is hmm.py vit_eval_5st).
+
+    score [P,5] int32, hist [P,5], out_score [P], out_hist [P],
+    senscr [P,5] int32, tp [P,5,6] int32 (quantized negated probs),
+    active [P] bool.  Unlike the 3-state kernel there is no t2-reuse
+    quirk: every 3-way select reads its own transition row, and the
+    state-4 / state-3 blocks are guarded by the C's
+    ``if (s2 > WORST)`` / ``if (s1 > WORST)`` checks.
+    """
+    i32 = jnp.int32
+
+    def tprob(i, j):
+        t = tp[:, i, j]
+        return -(t[:, None] if t.ndim == 1 and score.ndim == 3 else t)
+
+    s = [score[:, i] + -senscr[:, i] for i in range(5)]
+    worst = i32(WORST_SCORE)
+    best = jnp.full_like(s[0], worst)
+
+    def sel3(t0, t1, t2, h_self, h_t1, h_t2):
+        """C's nested if: if t0>t1 (t2>t0 ? t2 : t0) else (t2>t1 ? t2 : t1)
+        with matching history choice."""
+        branch_a = t0 > t1
+        use_t2 = jnp.where(branch_a, t2 > t0, t2 > t1)
+        ns = jnp.where(use_t2, t2, jnp.where(branch_a, t0, t1))
+        nh = jnp.where(use_t2, h_t2, jnp.where(branch_a, h_self, h_t1))
+        return jnp.maximum(ns, worst), nh
+
+    # --- state 5 (out, non-emitting): from 4 and 3, guarded by s3 ---
+    t1 = s[4] + tprob(4, 5)
+    t2 = s[3] + tprob(3, 5)
+    s5 = jnp.maximum(jnp.where(t1 > t2, t1, t2), worst)
+    nh5 = jnp.where(t1 > t2, hist[:, 4], hist[:, 3])
+    do5 = active & (s[3] > worst)
+    out_score = jnp.where(do5, s5, out_score)
+    out_hist = jnp.where(do5, nh5, out_hist)
+    best = jnp.where(do5, s5, best)
+
+    # --- state 4: from 4/3/2, guarded by s2 ---
+    g4 = active & (s[2] > worst)
+    ns4, nh4 = sel3(s[4] + tprob(4, 4), s[3] + tprob(3, 4),
+                    s[2] + tprob(2, 4), hist[:, 4], hist[:, 3], hist[:, 2])
+    best = jnp.maximum(best, jnp.where(g4, ns4, worst))
+
+    # --- state 3: from 3/2/1, guarded by s1 ---
+    g3 = active & (s[1] > worst)
+    ns3, nh3 = sel3(s[3] + tprob(3, 3), s[2] + tprob(2, 3),
+                    s[1] + tprob(1, 3), hist[:, 3], hist[:, 2], hist[:, 1])
+    best = jnp.maximum(best, jnp.where(g3, ns3, worst))
+
+    # --- state 2: from 2/1/0 (unguarded) ---
+    ns2, nh2 = sel3(s[2] + tprob(2, 2), s[1] + tprob(1, 2),
+                    s[0] + tprob(0, 2), hist[:, 2], hist[:, 1], hist[:, 0])
+    best = jnp.maximum(best, jnp.where(active, ns2, worst))
+
+    # --- state 1 ---
+    t0 = s[1] + tprob(1, 1)
+    t1 = s[0] + tprob(0, 1)
+    ns1 = jnp.maximum(jnp.where(t0 > t1, t0, t1), worst)
+    nh1 = jnp.where(t0 > t1, hist[:, 1], hist[:, 0])
+    best = jnp.maximum(best, jnp.where(active, ns1, worst))
+
+    # --- state 0 ---
+    ns0 = jnp.maximum(s[0] + tprob(0, 0), worst)
+    best = jnp.maximum(best, jnp.where(active, ns0, worst))
+
+    ax = 1
+    new_score = jnp.stack([
+        jnp.where(active, ns0, score[:, 0]),
+        jnp.where(active, ns1, score[:, 1]),
+        jnp.where(active, ns2, score[:, 2]),
+        jnp.where(g3, ns3, score[:, 3]),
+        jnp.where(g4, ns4, score[:, 4]),
+    ], axis=ax)
+    new_hist = jnp.stack([
+        hist[:, 0],
+        jnp.where(active, nh1, hist[:, 1]),
+        jnp.where(active, nh2, hist[:, 2]),
+        jnp.where(g3, nh3, hist[:, 3]),
+        jnp.where(g4, nh4, hist[:, 4]),
+    ], axis=ax)
+    return new_score, new_hist, out_score, out_hist, best
+
+
+def _eval_emit(score, hist, out_score, out_hist, senscr, tp, active,
+               lanes: bool):
+    """Dispatch the per-topology HMM kernel by emitting-state count
+    (hmm_vit_eval, hmm.c:741-759; anytopo models stay on the host
+    path — hmm.py vit_eval_anytopo).  tp is [P, E, E+1] or the
+    lane-major [P, E, E+1, B], so E is always axis 1."""
+    E = tp.shape[1]
+    if E == 3:
+        f = _eval_3st_lanes if lanes else _eval_3st
+        return f(score, hist, out_score, out_hist, senscr, tp, active)
+    if E == 5:
+        # _eval_5st's tprob broadcasts for both layouts
+        return _eval_5st(score, hist, out_score, out_hist, senscr, tp,
+                         active)
+    raise NotImplementedError(
+        f"TPU Viterbi supports 3/5 emitting states, got {E} "
+        "(use the host decoder path for anytopo models)")
+
+
 def build_pred_table(edge_src, edge_dst, edge_pen, n_nodes: int,
                      k_pad: int | None = None):
     """Edge list -> dense padded predecessor table.
@@ -163,10 +268,10 @@ def make_vit_step(senid, tp, pred_idx, pred_pen, pred_ok, astart, aend,
     single-device scan below and the sequence-parallel chunked scan in
     parallel/seqpipe.py).  xs = (t, sen [P,3]); carry = (score [P,3],
     hist [P,3], out_score [P], out_hist [P], best_prev)."""
-    P = senid.shape[0]
+    P, E = senid.shape
     i32 = jnp.int32
     worst = i32(WORST_SCORE)
-    sidx = (jnp.arange(P)[:, None] * 3 + jnp.arange(3)[None, :]).astype(i32)
+    sidx = (jnp.arange(P)[:, None] * E + jnp.arange(E)[None, :]).astype(i32)
 
     def step(carry, xs):
         score, hist, out_score, out_hist, best_prev = carry
@@ -178,8 +283,8 @@ def make_vit_step(senid, tp, pred_idx, pred_pen, pred_ok, astart, aend,
         renorm = (best_prev - 0x300000) < worst
         score = jnp.where(renorm & (score > worst), score - best_prev, score)
 
-        score, hist, out_score, out_hist, bestv = _eval_3st(
-            score, hist, out_score, out_hist, sen, tp, active)
+        score, hist, out_score, out_hist, bestv = _eval_emit(
+            score, hist, out_score, out_hist, sen, tp, active, lanes=False)
         best = jnp.max(jnp.where(active, bestv, worst))
 
         # phone transitions (phone_transition, state_align_search.c:108-133):
@@ -208,9 +313,9 @@ def make_vit_step(senid, tp, pred_idx, pred_pen, pred_ok, astart, aend,
         # OR freshly entered for the next frame.
         recorded = active | do_enter
         tok_id = jnp.where(recorded[:, None], hist, -1) \
-            .astype(tok_dtype).reshape(P * 3)
+            .astype(tok_dtype).reshape(P * E)
         if with_scores:
-            tok_score = jnp.where(recorded[:, None], score, -1).reshape(P * 3)
+            tok_score = jnp.where(recorded[:, None], score, -1).reshape(P * E)
         else:
             tok_score = None
         hist = jnp.where(recorded[:, None], sidx, hist)
@@ -220,18 +325,18 @@ def make_vit_step(senid, tp, pred_idx, pred_pen, pred_ok, astart, aend,
     return step
 
 
-def vit_carry0(P: int, entry_score=None):
+def vit_carry0(P: int, entry_score=None, n_emit: int = 3):
     """Initial Viterbi carry (score/hist/out/out_hist/best_prev)."""
     i32 = jnp.int32
     worst = i32(WORST_SCORE)
-    score0 = jnp.full((P, 3), worst, dtype=i32)
+    score0 = jnp.full((P, n_emit), worst, dtype=i32)
     if entry_score is None:
         score0 = score0.at[0, 0].set(0)
     else:
         # entry_score [P]: initial in-state score for entry nodes (their
         # pass-1-equivalent entry penalty), WORST_SCORE elsewhere.
         score0 = score0.at[:, 0].set(entry_score.astype(i32))
-    hist0 = jnp.full((P, 3), -1, dtype=i32)
+    hist0 = jnp.full((P, n_emit), -1, dtype=i32)
     out0 = jnp.full((P,), worst, dtype=i32)
     outh0 = jnp.full((P,), -1, dtype=i32)
     return (score0, hist0, out0, outh0, i32(0))
@@ -258,16 +363,16 @@ def align_viterbi(senscr, senid, tp, pred_idx, pred_pen, pred_ok,
     Token ids are int16 when P*3 fits (saves d2h + HBM bytes).
     """
     T = senscr.shape[0]
-    P = senid.shape[0]
+    P, E = senid.shape
     i32 = jnp.int32
-    tok_dtype = jnp.int16 if P * 3 < 32767 else jnp.int32
+    tok_dtype = jnp.int16 if P * E < 32767 else jnp.int32
     # Pre-gather per-frame per-state senone scores once, outside the
-    # scan: one big [T, P, 3] gather beats a per-step dynamic-slice +
+    # scan: one big [T, P, E] gather beats a per-step dynamic-slice +
     # gather chain inside the loop.
-    sen_all = senscr.astype(i32)[:, senid]  # [T, P, 3]
+    sen_all = senscr.astype(i32)[:, senid]  # [T, P, E]
     step = make_vit_step(senid, tp, pred_idx, pred_pen, pred_ok,
                          astart, aend, n_frames, with_scores, tok_dtype)
-    carry0 = vit_carry0(P, entry_score)
+    carry0 = vit_carry0(P, entry_score, E)
     (score, hist, out_score, out_hist, _), (tok_id, tok_score) = \
         jax.lax.scan(step, carry0, (jnp.arange(T, dtype=i32), sen_all),
                      unroll=_scan_unroll(4))
@@ -369,13 +474,14 @@ def make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok, astart, aend,
       gathers over the phone axis, everything else broadcasts.
     """
     P = tp.shape[0]
+    E = tp.shape[1]
     K = pred_idx.shape[1]
     per_lane = pred_idx.ndim == 3
     astart_b = astart if astart.ndim == 2 else astart[:, None]  # [P,B]|[P,1]
     aend_b = aend if aend.ndim == 2 else aend[:, None]
     i32 = jnp.int32
     worst = i32(WORST_SCORE)
-    sidx = (jnp.arange(P)[:, None] * 3 + jnp.arange(3)[None, :]).astype(i32)
+    sidx = (jnp.arange(P)[:, None] * E + jnp.arange(E)[None, :]).astype(i32)
 
     def step(carry, xs):
         score, hist, out_score, out_hist, best_prev = carry
@@ -389,8 +495,8 @@ def make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok, astart, aend,
         score = jnp.where(renorm & (score > worst),
                           score - best_prev[None, None, :], score)
 
-        score, hist, out_score, out_hist, bestv = _eval_3st_lanes(
-            score, hist, out_score, out_hist, sen, tp, active)
+        score, hist, out_score, out_hist, bestv = _eval_emit(
+            score, hist, out_score, out_hist, sen, tp, active, lanes=True)
         best = jnp.max(jnp.where(active, bestv, worst), axis=0)   # [B]
 
         # phone transitions: K-slot predecessor max, first-max-wins over
@@ -429,7 +535,7 @@ def make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok, astart, aend,
         hist = hist.at[:, 0].set(jnp.where(do_enter, ent_hist, hist[:, 0]))
 
         recorded = active | do_enter                      # [P, B]
-        S = P * 3
+        S = P * E
         B = out_score.shape[1]
         tok_id = jnp.where(recorded[:, None, :], hist, -1) \
             .astype(tok_dtype).reshape(S, B)
@@ -445,18 +551,18 @@ def make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok, astart, aend,
     return step
 
 
-def vit_carry0_lanes(P: int, B: int, entry_score=None):
+def vit_carry0_lanes(P: int, B: int, entry_score=None, n_emit: int = 3):
     """Initial batch-in-lanes Viterbi carry.  entry_score is [P] (shared
     graph) or [B, P] (per-lane graphs)."""
     i32 = jnp.int32
     worst = i32(WORST_SCORE)
-    score0 = jnp.full((P, 3, B), worst, dtype=i32)
+    score0 = jnp.full((P, n_emit, B), worst, dtype=i32)
     if entry_score is None:
         score0 = score0.at[0, 0, :].set(0)
     else:
         es = entry_score.astype(i32)
         score0 = score0.at[:, 0, :].set(es.T if es.ndim == 2 else es[:, None])
-    hist0 = jnp.full((P, 3, B), -1, dtype=i32)
+    hist0 = jnp.full((P, n_emit, B), -1, dtype=i32)
     out0 = jnp.full((P, B), worst, dtype=i32)
     outh0 = jnp.full((P, B), -1, dtype=i32)
     return (score0, hist0, out0, outh0, jnp.zeros((B,), i32))
@@ -486,21 +592,22 @@ def align_viterbi_batch(sen_g, tp, pred_idx, pred_pen, pred_ok,
     layout changes only how XLA tiles the arrays, not the arithmetic.
     """
     B, T, S = sen_g.shape
-    P = S // 3
+    E = tp.shape[-2]                       # emitting states (3 or 5)
+    P = S // E
     i32 = jnp.int32
     tok_dtype = jnp.int16 if S < 32767 else jnp.int32
     if tp.ndim == 4:                       # per-row graphs -> lane-major
-        tp = tp.transpose(1, 2, 3, 0)                  # [P,3,4,B]
+        tp = tp.transpose(1, 2, 3, 0)                  # [P,E,E+1,B]
         pred_idx = pred_idx.transpose(1, 2, 0)         # [P,K,B]
         pred_pen = pred_pen.transpose(1, 2, 0)
         pred_ok = pred_ok.transpose(1, 2, 0)
         astart = astart.T                              # [P,B]
         aend = aend.T
-    sen_l = sen_g.astype(i32).transpose(1, 2, 0).reshape(T, P, 3, B)
+    sen_l = sen_g.astype(i32).transpose(1, 2, 0).reshape(T, P, E, B)
     step = make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok,
                                astart, aend, n_frames, with_scores,
                                tok_dtype)
-    carry0 = vit_carry0_lanes(P, B, entry_score)
+    carry0 = vit_carry0_lanes(P, B, entry_score, E)
     (score, hist, out_score, out_hist, _), (tok_id, tok_score) = \
         jax.lax.scan(step, carry0, (jnp.arange(T, dtype=i32), sen_l),
                      unroll=_scan_unroll(4))

@@ -211,9 +211,10 @@ def build_fsg_graph(fsg, d, d2p, am, lmath, config) -> AlignGraph:
 
     # -- assemble (same layout as build_chain_graph) --------------------------
     P = len(nodes)
+    n_emit = am.mdef.n_emit_state
     ssid = np.zeros(P, np.int32)
     tmatid = np.zeros(P, np.int32)
-    senid = np.zeros((P, 3), np.int32)
+    senid = np.zeros((P, n_emit), np.int32)
     entry_pen = np.zeros(P, np.int32)
     is_entry = np.zeros(P, bool)
     word_of = np.zeros(P, np.int32)

@@ -361,9 +361,16 @@ class GraphScorer:
         S = len(senid_flat)
         sen2cb = np.asarray(am.sen2cb, np.int64)
         used_cb = np.unique(sen2cb[senid_flat])
-        # Bucket the used-codebook count to a multiple of 4 (bounded set
-        # of compiled distance/top-N shapes across transcripts); pad
-        # rows repeat codebook 0 and are never referenced by cb_pos.
+        # NOTE: the used-codebook count Cu is NOT bucketed — every
+        # distinct Cu compiles its own distance/top-N shapes (20-40s
+        # each on TPU).  Deliberate: the TPU lowering is pathologically
+        # shape-sensitive (top_k at Cu=16 measures ~6x slower than 15
+        # or 17 — see _topn_argmax), so blind padding costs steady-state
+        # throughput.  Serving workloads with many transcripts should
+        # prefer the multi-graph dense path (aligner._batch_begin_mixed),
+        # whose compiled shapes are transcript-independent; SST_GRAPH_PAD
+        # bounds the per-transcript graph (P) classes for this scorer
+        # but, by design, not Cu.
         n_cb_total = int(sen2cb.max()) + 1
         cb_row = np.full(n_cb_total, -1, np.int64)
         cb_row[used_cb] = np.arange(len(used_cb))

@@ -72,7 +72,7 @@ def align_longform(mesh: Mesh, senscr, senid, tp, pred_idx, pred_pen,
     assert T % nseq == 0, "frame axis must divide the seq mesh"
     C = T // nseq
     Pn = senid.shape[0]
-    S = Pn * 3
+    S = Pn * senid.shape[1]
     tok_dtype = jnp.int16 if S < 32767 else jnp.int32
 
     shard = NamedSharding(mesh, P(None, "seq", None))
@@ -119,7 +119,7 @@ def _forward(senscr_local, consts, *, nseq, tok_dtype):
     """Per-device forward wavefront.  senscr_local [B, C, G]."""
     B, C, G = senscr_local.shape
     Pn = consts["senid"].shape[0]
-    S = Pn * 3
+    S = Pn * consts["senid"].shape[1]
     idx = jax.lax.axis_index("seq")
     t0 = idx * C
     i32 = jnp.int32

@@ -164,6 +164,20 @@ def read_tmat_params(path: str):
     return tp
 
 
+def write_tmat_params(path: str, tp: np.ndarray):
+    """Write raw float32 transition matrices [n_tmat, n_src, n_dst]
+    (n_dst == n_src + 1) in the format read_tmat_params / the
+    reference's tmat_init_s3file parse."""
+    n_tmat, n_src, n_dst = tp.shape
+    if n_dst != n_src + 1:
+        raise ValueError("tmat n_dst must be n_src + 1")
+    with open(path, "wb") as fh:
+        _write_s3_header(fh, "1.0")
+        fh.write(np.array([n_tmat, n_src, n_dst,
+                           n_tmat * n_src * n_dst], np.int32).tobytes())
+        fh.write(np.ascontiguousarray(tp, np.float32).tobytes())
+
+
 def read_sendump(path: str, n_feat: int, n_density: int, n_sen: int):
     """Read a quantized mixture-weight dump (ptm_mgau.c:456-609 read_sendump).
 
@@ -322,6 +336,30 @@ def write_lda(path: str, lda: np.ndarray):
         fh.write(np.array([n_lda, rows, cols,
                            n_lda * rows * cols], np.int32).tobytes())
         fh.write(lda.tobytes())
+
+
+def write_sendump_8b(path: str, mixw: np.ndarray):
+    """Write an 8-bit (unclustered) sendump: title + header + attribute
+    strings, then the rows/cols int32 pair and the raw [n_feat,
+    n_density, n_sen] uint8 data (the cluster_count==0 layout of
+    read_sendump / ptm_mgau.c:456-609)."""
+    n_feat, n_density, n_sen = mixw.shape
+
+    def put_str(fh, text: str):
+        b = text.encode() + b"\0"
+        fh.write(np.array([len(b)], np.int32).tobytes())
+        fh.write(b)
+
+    with open(path, "wb") as fh:
+        put_str(fh, "8-bit sendump (soundswallower_tpu test tool)")
+        put_str(fh, "comment")
+        put_str(fh, "cluster_count 0")
+        put_str(fh, f"feature_count {n_feat}")
+        put_str(fh, f"mixture_count {n_density}")
+        put_str(fh, f"model_count {n_sen}")
+        fh.write(np.array([0], np.int32).tobytes())
+        fh.write(np.array([n_density, n_sen], np.int32).tobytes())
+        fh.write(np.ascontiguousarray(mixw, np.uint8).tobytes())
 
 
 def write_sendump_4b(path: str, cw: np.ndarray, mixw_cb: np.ndarray,

@@ -50,7 +50,7 @@ class AlignStream:
         self.text = text
         g = aligner.graph_for_text(text)
         self.g = g
-        self._S = len(g.senid) * 3
+        self._S = len(g.senid) * g.senid.shape[1]
         fe = aligner.fe
         self.shift, self.size = fe.frame_shift, fe.frame_size
         if _restore is None:
@@ -90,7 +90,8 @@ class AlignStream:
             consts = [jnp.asarray(x) for x in
                       (pi, pp, pk, g.astart, g.aend)]
             P = len(g.senid)
-            senid = jnp.arange(P * 3, dtype=jnp.int32).reshape(P, 3)
+            E = self.g.senid.shape[1]
+            senid = jnp.arange(P * E, dtype=jnp.int32).reshape(P, E)
             tp = al.tmat_i32[jnp.asarray(g.tmatid)]
             C = self.CHUNK
 

@@ -25,8 +25,13 @@ def load_native(soname: str) -> ctypes.CDLL | None:
     """Load native/<soname>, (re)building it from source if needed."""
     d = native_dir()
     so = os.path.join(d, soname)
-    # libsst_fe.so -> sst_fe.cpp
-    src = os.path.join(d, soname[3:-3] + ".cpp")
+    # libsst_fe.so -> sst_fe.cpp; ISA variants (libsst_fe_avx512.so)
+    # build from the same source
+    base = soname[3:-3]
+    for suffix in ("_avx512",):
+        if base.endswith(suffix):
+            base = base[: -len(suffix)]
+    src = os.path.join(d, base + ".cpp")
     try:
         stale = not os.path.exists(so) or (
             os.path.exists(src)

@@ -21,6 +21,15 @@ if "host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The interpreter preload (sitecustomize) registers the axon PJRT
+# plugin and can programmatically set jax_platforms to "axon,cpu",
+# which OVERRIDES the env vars above — pin the config explicitly or
+# tests silently grab the single-holder TPU tunnel and hang.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -118,3 +118,27 @@ def test_warped_mfcc_bit_parity(name, params):
     gold = np.fromfile(os.path.join(GOLDEN, "warp", f"mfcc_{name}.f32"),
                        np.float32).reshape(-1, 13)
     assert np.array_equal(cep, gold)
+
+
+def test_spectrogram_matches_js_binding_goldens():
+    """spectrogram() parity vs the JS binding's C implementation
+    (js/soundswallower.c:88-112, dumped by tools/oracle/spec_oracle.c):
+    raw mel log-spectra bit-exact, smoothed (DCT-II/DCT-III round trip,
+    fe_sigproc.c:624-637) bit-exact."""
+    import numpy as np
+
+    from soundswallower_tpu.decoder import Decoder
+    from tests.conftest import golden
+
+    d = Decoder(hmm="/root/reference/model/en-us")
+    raw = np.fromfile("/root/reference/tests/data/goforward.raw", np.int16)
+    nfilt = d.config.get_int("nfilt")
+    want_raw = golden("spec-goforward", "spec_raw.f32", np.float32,
+                      (-1, nfilt))
+    want_smooth = golden("spec-goforward", "spec_smooth.f32", np.float32,
+                         (-1, nfilt))
+    got_raw = d.spectrogram(raw)
+    assert got_raw.shape == want_raw.shape
+    assert np.array_equal(got_raw, want_raw)
+    got_smooth = d.spectrogram(raw, smooth=True)
+    assert np.array_equal(got_smooth, want_smooth)

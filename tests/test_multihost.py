@@ -23,3 +23,78 @@ def test_global_mesh_and_assembly():
     y = jax.jit(lambda a: a * 2)(g)
     back = local_results(y)
     assert (back == x * 2).all()
+
+
+def test_two_process_distributed(tmp_path):
+    """REAL multi-process path: two OS processes, each with 2 CPU
+    devices, form one 4-device global ('data',) mesh via
+    jax.distributed.initialize; each host contributes its own local
+    batch (host_batch_to_global), a jitted global step computes both a
+    per-row transform and a cross-host reduction (the psum rides the
+    distributed backend), and every process must see the global sum of
+    BOTH hosts' data."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # pick a free port for the coordinator
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(f'''
+import json, sys
+pid = int(sys.argv[1])
+import numpy as np
+import jax
+# the interpreter preload can pin jax_platforms to the axon TPU,
+# overriding env vars -- enforce the CPU platform + device count
+# programmatically before the backend initializes
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+import jax.numpy as jnp
+sys.path.insert(0, {json.dumps(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+from soundswallower_tpu.parallel.multihost import (
+    global_data_mesh, host_batch_to_global, initialize, local_results)
+initialize("127.0.0.1:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+mesh = global_data_mesh()
+assert mesh.devices.size == 4
+# per-host local batch: host p contributes rows [p*4, p*4+4)
+local = (np.arange(4 * 3, dtype=np.float32).reshape(4, 3)
+         + pid * 12.0)
+g = host_batch_to_global(mesh, local)
+assert g.shape == (8, 3)
+doubled = jax.jit(lambda a: a * 2)(g)
+total = jax.jit(jnp.sum)(g)          # cross-host reduction
+back = local_results(doubled)
+out = dict(pid=pid, total=float(total),
+           back_ok=bool((back == local * 2).all()))
+print("RESULT " + json.dumps(out))
+''')
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            # jax may be pre-imported at interpreter startup in this
+            # environment, so platform env vars MUST come from the
+            # parent process env, not in-script os.environ writes
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-2000:]
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert line, out[-2000:]
+        outs.append(json.loads(line[-1][len("RESULT "):]))
+    want_total = float(np.arange(24, dtype=np.float32).sum())
+    for o in outs:
+        assert o["back_ok"], o
+        assert o["total"] == want_total, (o, want_total)
