@@ -153,12 +153,18 @@ class TpuAligner:
         default_scale = "256" if config["transform"] == "legacy" else "128"
         self.wire_scale = float(os.environ.get("SST_WIRE_SCALE",
                                                default_scale))
-        # Frame-axis padding floor (frames, rounded up to 64): serving
-        # sets this (AlignService.prewarm) so every batch shares ONE
-        # compiled frame-axis class regardless of which utterances land
-        # in it — predictable latency instead of a cold-compile p99
-        # tail.  Longer utterances still grow Tmax past the floor.
+        # Serving size-class floors (AlignService.prewarm sets them):
+        # tmax_floor pins the frame-axis class, graph_p_floor /
+        # graph_k_floor pin the stacked-graph (node count, in-degree)
+        # class — so compiled shapes stop depending on WHICH utterances
+        # land in a batch.  Without the floors a batch composition
+        # missing the longest audio or largest graph falls into a
+        # smaller class and pays a fresh ~5s TPU compile mid-traffic
+        # (measured as a multi-second serve p99 tail against a ~150ms
+        # p50).  Bigger inputs still grow the class past the floors.
         self.tmax_floor = int(os.environ.get("SST_TMAX_FLOOR", "0"))
+        self.graph_p_floor = 0
+        self.graph_k_floor = 0
         # Opt-in per-segment scores: the Viterbi also emits the token
         # score stack and the backtrace returns the cumulative path
         # score per frame, from which extraction derives per-phone /
@@ -647,11 +653,14 @@ class TpuAligner:
         a few ms of host work + ~MBs of upload, worth skipping)."""
         if not hasattr(self, "_stack_cache"):
             self._stack_cache = {}
-        key = tuple(id(g) for g in graphs)
+        key = (tuple(id(g) for g in graphs),
+               self.graph_p_floor, self.graph_k_floor)
         st = self._stack_cache.get(key)
         if st is None:
             raw = stack_graphs(graphs, self.am.tmat.astype(np.int32),
-                               self.tables.sen_remap)
+                               self.tables.sen_remap,
+                               p_floor=self.graph_p_floor,
+                               k_floor=self.graph_k_floor)
             st = {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
                   for k, v in raw.items()}
             if len(self._stack_cache) >= 32:

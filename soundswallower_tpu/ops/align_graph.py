@@ -286,7 +286,8 @@ def pad_graph_to(g: AlignGraph, Pp: int) -> AlignGraph:
 
 def stack_graphs(graphs: list[AlignGraph], tmat: np.ndarray,
                  sen_remap: np.ndarray,
-                 p_mult: int = 32, k_mult: int = 2) -> dict:
+                 p_mult: int = 32, k_mult: int = 2,
+                 p_floor: int = 0, k_floor: int = 0) -> dict:
     """Pad a batch of (generally DIFFERENT) graphs to a shared
     (node-count, in-degree) size class and stack their tensors, so one
     multi-graph Viterbi dispatch covers the whole batch
@@ -308,12 +309,16 @@ def stack_graphs(graphs: list[AlignGraph], tmat: np.ndarray,
     B = len(graphs)
     E = graphs[0].senid.shape[1]          # emitting states (3 or 5)
     P = max(len(g.ssid) for g in graphs)
-    P = -(-P // p_mult) * p_mult
+    P = max(-(-P // p_mult) * p_mult, p_floor)
     K = 1
     for g in graphs:
         if len(g.edge_dst):
             K = max(K, int(np.bincount(g.edge_dst).max()))
-    K = -(-K // k_mult) * k_mult
+    # p_floor/k_floor: serving pins the size class across batch
+    # COMPOSITIONS — without them, a batch subset lacking the largest
+    # graph lands in a smaller (P, K) class and pays a fresh ~5s TPU
+    # compile mid-traffic (measured as a multi-second latency tail)
+    K = max(-(-K // k_mult) * k_mult, k_floor)
     tp = np.zeros((B, P) + tmat.shape[1:], np.int32)
     pi = np.zeros((B, P, K), np.int32)
     pp = np.zeros((B, P, K), np.int32)

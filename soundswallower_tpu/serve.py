@@ -72,14 +72,30 @@ class AlignService:
         if not samples:
             return
         ordered = sorted(samples, key=lambda s: -len(s[0]))
-        # Pin ONE frame-axis class for all future batches: without the
-        # floor, a small batch of short utterances lands in a smaller
-        # Tmax bucket than any prewarmed one and pays a cold compile
-        # (measured as a 9s p99 tail against a 160ms p50).
+        # Pin the compiled size classes for all future batches: the
+        # frame-axis bucket AND the stacked-graph (node count,
+        # in-degree) bucket.  Without the floors, a batch whose
+        # composition lacks the longest audio or the largest graph
+        # falls into a smaller class and pays a cold TPU compile
+        # mid-traffic (measured as a multi-second p99 tail against a
+        # ~150ms p50).
         longest = len(ordered[0][0])
         T = self.aligner.fe.n_frames(longest)
         self.aligner.tmax_floor = max(self.aligner.tmax_floor,
                                       -(-T // 64) * 64)
+        p_max, k_max = 0, 1
+        for _, text in ordered:
+            try:
+                g = self.aligner.graph_for_text(text)
+            except KeyError:
+                continue
+            p_max = max(p_max, len(g.ssid))
+            if len(g.edge_dst):
+                k_max = max(k_max, int(np.bincount(g.edge_dst).max()))
+        self.aligner.graph_p_floor = max(self.aligner.graph_p_floor,
+                                         -(-p_max // 32) * 32)
+        self.aligner.graph_k_floor = max(self.aligner.graph_k_floor,
+                                         -(-k_max // 2) * 2)
         for n in sizes:
             if n > self.max_batch:
                 continue
