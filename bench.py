@@ -121,6 +121,7 @@ def bench_serve(al, raw, n_req=128, conc=32):
         # compile every batch-size class the dynamic batcher can hit
         # (what a real deployment does at startup; serve.py --prewarm-text)
         svc.prewarm(pairs)
+
         def one(i):
             a, t = pairs[i % len(pairs)]
             a = a + rng.randint(-1, 2, len(a)).astype(np.int16)
@@ -128,6 +129,12 @@ def bench_serve(al, raw, n_req=128, conc=32):
             svc.align(a, t, timeout=600)
             return (time.monotonic() - t0) * 1000.0
 
+        # shakeout wave (unmeasured): the first concurrent batches after
+        # prewarm absorb one-time costs that are not steady-state
+        # (tunnel re-warm after the preceding large-batch sections,
+        # batcher thread ramp); the metric is steady-state latency
+        with ThreadPoolExecutor(max_workers=conc) as ex:
+            list(ex.map(one, range(conc)))
         with ThreadPoolExecutor(max_workers=conc) as ex:
             lat = list(ex.map(one, range(n_req)))
         lat.sort()
