@@ -34,7 +34,7 @@ from .fe.frontend import Frontend
 from .logmath import LogMath
 from .ops.align_graph import AlignGraph, build_chain_graph, stack_graphs
 from .ops.align_jax import (WORST_SCORE, align_viterbi, align_viterbi_batch,
-                            backtrace, build_pred_table)
+                            backtrace, backtrace_batch, build_pred_table)
 from .ops.senscore_jax import (GraphScorer, ScorerTables, score_frames,
                                score_frames_graph)
 
@@ -165,6 +165,7 @@ class TpuAligner:
         self.tmax_floor = int(os.environ.get("SST_TMAX_FLOOR", "0"))
         self.graph_p_floor = 0
         self.graph_k_floor = 0
+        self.graph_w_floor = 0
         # Opt-in per-segment scores: the Viterbi also emits the token
         # score stack and the backtrace returns the cumulative path
         # score per frame, from which extraction derives per-phone /
@@ -186,8 +187,12 @@ class TpuAligner:
 
         apply_mllr(self.am, Mllr(path), self.config)
         self.tables = ScorerTables.from_am(self.am)
-        if hasattr(self, "_graph_const_cache"):
-            self._graph_const_cache.clear()
+        # every cache that (transitively) baked the old Gaussians or
+        # closed over per-graph device constants
+        for name in ("_graph_const_cache", "_vit_batch_jit",
+                     "_stack_cache", "_uni"):
+            if hasattr(self, name):
+                delattr(self, name)
 
     def spectrogram(self, audio: np.ndarray,
                     smooth: bool = False) -> np.ndarray:
@@ -573,16 +578,21 @@ class TpuAligner:
         """ONE dispatch chain for a batch of DIFFERENT transcripts.
 
         Stages (none closes over graph data, so compiled shapes depend
-        only on batch geometry + the (P, K) graph size class, never on
-        transcripts — a new transcript costs a host graph build, not a
-        recompile):
+        only on batch geometry + the (P, K) graph size class + the
+        union working-set bucket, never on transcripts — a new
+        transcript costs a host graph build, not a recompile):
 
-        1. dense grouped senone scoring over all rows' frames
-           (score_frames; transcript-independent),
+        1. union-restricted senone scoring over all rows' frames
+           (score_frames_graph on the batch's working-set union — see
+           _union_scorer; falls back to dense score_frames for
+           want_scores, whose "p" fields need the dense compallsen
+           normalization, or once the working set covers most of the
+           inventory),
         2. a per-row column gather into each row's graph-state order
            (_gather_cols with stack_graphs' sencols),
         3. per-row-graph lane-major Viterbi: align_viterbi_batch's
-           [B, ...] form over stack_graphs tensors.
+           [B, ...] form over stack_graphs tensors (banded transitions
+           for chain graphs — see make_vit_step_lanes).
 
         This replaces the round-3 per-text-group dispatch, which ran
         4.5x slower than the same-transcript path on 64 unique
@@ -596,7 +606,12 @@ class TpuAligner:
              else -(-realB // 64) * 64)
         audios = list(audios) + [audios[-1]] * (B - realB)
         graphs = list(graphs) + [graphs[-1]] * (B - realB)
-        st = self._stacked_graphs(graphs)
+        uni = None if self.want_scores else self._union_scorer(graphs)
+        if uni is None:
+            st = self._stacked_graphs(graphs)
+        else:
+            st = self._stacked_graphs(graphs, remap=uni["pos"],
+                                      remap_ver=uni["ver"])
         ns = np.array([len(a) for a in audios])
         Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
         Tmax = max(64, self.tmax_floor, -(-int(Ts.max()) // 64) * 64)
@@ -634,7 +649,11 @@ class TpuAligner:
                     jax.device_put(buf[i0:i0 + chunk]),
                     jax.device_put(ns[i0:i0 + chunk]), Ts_d, Tmax)
             flat = feats.reshape((-1,) + feats.shape[2:])
-            dense = score_frames(self.tables, flat, dist_mode)  # [cT, G]
+            if uni is not None:
+                dense = score_frames_graph(uni["gs"], flat,
+                                           dist_mode)       # [cT, Su] i32
+            else:
+                dense = score_frames(self.tables, flat, dist_mode)  # [cT, G]
             dense = dense.reshape(feats.shape[0], Tmax, -1)
             sen_chunks.append(_gather_cols(dense, st["sencols"][i0:i0 + chunk]))
         sen_all = sen_chunks[0] if len(sen_chunks) == 1 \
@@ -647,20 +666,68 @@ class TpuAligner:
         final_sc.copy_to_host_async()
         return (graphs[:realB], Ts[:realB], paths, pscore, final_sc, realB)
 
-    def _stacked_graphs(self, graphs: list):
-        """stack_graphs + device upload, cached by the graph-id tuple
-        (steady-state serving repeats batch compositions; the stack is
-        a few ms of host work + ~MBs of upload, worth skipping)."""
+    # mixed batches switch from union-restricted to dense scoring once
+    # the working set covers most of the senone inventory (the union
+    # scorer's selection matmul would then cost MORE than dense)
+    UNION_MAX_FRAC = 0.6
+
+    def _union_scorer(self, graphs: list):
+        """Working-set union scorer for mixed-transcript batches.
+
+        Dense scoring evaluates all ~n_sen grouped senone columns per
+        frame; a batch of B transcripts only ever reads the UNION of
+        its graphs' senones (a few hundred for typical documents) —
+        28x fewer mixture-eval columns on the reference workload.  The
+        union grows MONOTONICALLY over the aligner's lifetime (the
+        serving working set), bucketed to multiples of 256, so batch
+        compositions never shrink the compiled shape class and a new
+        transcript costs a scorer rebuild only when it grows the
+        bucket.  Returns None once the working set exceeds
+        UNION_MAX_FRAC of the inventory (dense is cheaper there).
+        """
+        u = getattr(self, "_uni", None)
+        if u is None:
+            u = self._uni = dict(ver=0, senset=np.zeros(0, np.int64),
+                                 gs=None, Spad=0, dense=False,
+                                 pos=np.full(self.am.n_sen, -1, np.int32))
+        if u["dense"]:
+            return None
+        need = np.unique(np.concatenate(
+            [g.senid.ravel() for g in graphs]).astype(np.int64))
+        if u["gs"] is None or np.any(u["pos"][need] < 0):
+            senset = np.unique(np.concatenate([u["senset"], need]))
+            if len(senset) > self.UNION_MAX_FRAC * self.am.n_sen:
+                u["dense"] = True
+                return None
+            Spad = max(256, -(-len(senset) // 256) * 256, u["Spad"])
+            senid_flat = np.zeros(Spad, np.int64)  # pad cols: senone 0
+            senid_flat[: len(senset)] = senset
+            pos = np.full(self.am.n_sen, -1, np.int32)
+            pos[senset] = np.arange(len(senset), dtype=np.int32)
+            u.update(ver=u["ver"] + 1, senset=senset, Spad=Spad, pos=pos,
+                     gs=GraphScorer.build(self.am, self.tables, senid_flat))
+        return u
+
+    def _stacked_graphs(self, graphs: list, remap: np.ndarray | None = None,
+                        remap_ver: int = 0):
+        """stack_graphs + device upload, cached by the graph-serial
+        tuple (steady-state serving repeats batch compositions; the
+        stack is a few ms of host work + ~MBs of upload, worth
+        skipping).  ``remap`` overrides the senone-column remap
+        (union-scorer positions instead of the dense grouped layout);
+        ``remap_ver`` keys the cache for it."""
         if not hasattr(self, "_stack_cache"):
             self._stack_cache = {}
-        key = (tuple(id(g) for g in graphs),
-               self.graph_p_floor, self.graph_k_floor)
+        key = (tuple(g.serial for g in graphs), remap_ver,
+               self.graph_p_floor, self.graph_k_floor, self.graph_w_floor)
         st = self._stack_cache.get(key)
         if st is None:
             raw = stack_graphs(graphs, self.am.tmat.astype(np.int32),
-                               self.tables.sen_remap,
+                               self.tables.sen_remap if remap is None
+                               else remap,
                                p_floor=self.graph_p_floor,
-                               k_floor=self.graph_k_floor)
+                               k_floor=self.graph_k_floor,
+                               w_floor=self.graph_w_floor)
             st = {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
                   for k, v in raw.items()}
             if len(self._stack_cache) >= 32:
@@ -677,9 +744,11 @@ class TpuAligner:
         ws = self.want_scores
         vit_j = self._vit_mg_jit.get(ws)
         if vit_j is None:
-            def run(sg, tp, pi, pp, pk, ast, aen, entry, finmask, Ts):
+            def run(sg, tp, pi, pp, pk, ast, aen, entry, finmask, Ts,
+                    band_pen=None, band_ok=None):
                 tok_id, tok_sc, out_score, out_hist = align_viterbi_batch(
-                    sg, tp, pi, pp, pk, ast, aen, Ts, ws, entry)
+                    sg, tp, pi, pp, pk, ast, aen, Ts, ws, entry,
+                    band_pen=band_pen, band_ok=band_ok)
                 worst = jnp.int32(WORST_SCORE)
                 fsc = jnp.where(finmask, out_score, worst)  # [B, P]
                 final_node = jnp.argmax(fsc, axis=1)
@@ -690,18 +759,8 @@ class TpuAligner:
                 fstate = jnp.where(fscore > worst,
                                    out_hist[rows, final_node], -1)
 
-                if ws:
-                    def bt_one(tid, tsc, st_, sc_, T):
-                        return backtrace(tid, tsc, st_, sc_, T)
-
-                    path, pscore = jax.vmap(bt_one)(
-                        tok_id, tok_sc, fstate, fscore, Ts)
-                else:
-                    def bt_one(tid, st_, sc_, T):
-                        return backtrace(tid, None, st_, sc_, T)[0]
-
-                    path = jax.vmap(bt_one)(tok_id, fstate, fscore, Ts)
-                    pscore = None
+                path, pscore = backtrace_batch(
+                    tok_id, tok_sc if ws else None, fstate, fscore, Ts)
                 if sg.shape[-1] < 32767:
                     path = path.astype(jnp.int16)
                 return path, pscore, fscore
@@ -710,7 +769,9 @@ class TpuAligner:
         return vit_j(sen_all, st["tp"], st["pred_idx"],
                      st["pred_pen"], st["pred_ok"],
                      st["astart"], st["aend"], st["entry"],
-                     st["final_mask"], Ts_d)
+                     st["final_mask"], Ts_d,
+                     band_pen=st.get("band_pen"),
+                     band_ok=st.get("band_ok"))
 
     def _extract_safe(self, g, path, T, final_score, pscore=None):
         """Per-utterance failure isolation (SURVEY §5: an unreachable
@@ -1018,7 +1079,7 @@ class TpuAligner:
         cached (incl. the graph-restricted GraphScorer)."""
         if not hasattr(self, "_graph_const_cache"):
             self._graph_const_cache = {}
-        c = self._graph_const_cache.get(id(g))
+        c = self._graph_const_cache.get(g.serial)
         if c is None:
             entry = jnp.asarray(np.where(g.is_entry, g.entry_pen,
                                          WORST_SCORE).astype(np.int32))
@@ -1033,7 +1094,7 @@ class TpuAligner:
                      aen=jnp.asarray(g.aend),
                      fin=jnp.asarray(g.final_nodes),
                      gs=GraphScorer.build(self.am, self.tables, g.senid))
-            self._graph_const_cache[id(g)] = c
+            self._graph_const_cache[g.serial] = c
         return c
 
     def _score_graph_batch(self, g: AlignGraph, feats, Tmax: int,
@@ -1053,41 +1114,33 @@ class TpuAligner:
     def _vit_full(self, g: AlignGraph, sen_g, Ts):
         """Whole-batch lane-major Viterbi + final-node select + batched
         backtrace.  sen_g [B, T, S] int32 graph-gathered scores.
-        Returns (path [B,T], path_score [B,T] or None, final [B])."""
+        Returns (path [B,T], path_score [B,T] or None, final [B]).
+
+        Graph constants are passed as ARGUMENTS, never closed over: on
+        the tunnel-attached TPU runtime, arrays captured into a jit are
+        re-uploaded on every launch (measured ~2.6 ms per 16 KB
+        constant), while argument arrays stay device-resident."""
         c = self._graph_consts(g)
         if not hasattr(self, "_vit_batch_jit"):
             self._vit_batch_jit = {}
         ws = self.want_scores
-        gkey = (id(g), sen_g.shape, ws)
-        vit_j = self._vit_batch_jit.get(gkey)
+        vit_j = self._vit_batch_jit.get(ws)
         if vit_j is None:
-            fin = c["fin"]
-
-            def run(sg, Ts):
+            def run(sg, tp, pi, pp, pk, ast, aen, entry, fin, Ts):
                 tok_id, tok_sc, out_score, out_hist = align_viterbi_batch(
-                    sg, c["tp"], c["pi"], c["pp"], c["pk"], c["ast"],
-                    c["aen"], Ts, ws, c["entry"])
+                    sg, tp, pi, pp, pk, ast, aen, Ts, ws, entry)
                 fsc = out_score[:, fin]                    # [B, F]
                 best = jnp.argmax(fsc, axis=1)
                 final_node = fin[best]                     # [B]
                 rows = jnp.arange(sg.shape[0])
                 fstate = out_hist[rows, final_node]
                 fscore = out_score[rows, final_node]
-                if ws:
-                    def bt_one(tid, tsc, st, sc, T):
-                        return backtrace(tid, tsc, st, sc, T)
-
-                    path, pscore = jax.vmap(bt_one)(
-                        tok_id, tok_sc, fstate, fscore, Ts)
-                else:
-                    def bt_one(tid, st, sc, T):
-                        return backtrace(tid, None, st, sc, T)[0]
-
-                    path = jax.vmap(bt_one)(tok_id, fstate, fscore, Ts)
-                    pscore = None
+                path, pscore = backtrace_batch(
+                    tok_id, tok_sc if ws else None, fstate, fscore, Ts)
                 if sg.shape[-1] < 32767:
                     path = path.astype(jnp.int16)   # halves the d2h bytes
                 return path, pscore, fscore
 
-            vit_j = self._vit_batch_jit[gkey] = jax.jit(run)
-        return vit_j(sen_g, Ts)
+            vit_j = self._vit_batch_jit[ws] = jax.jit(run)
+        return vit_j(sen_g, c["tp"], c["pi"], c["pp"], c["pk"], c["ast"],
+                     c["aen"], c["entry"], c["fin"], Ts)

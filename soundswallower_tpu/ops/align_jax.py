@@ -454,8 +454,16 @@ def _eval_3st_lanes(score, hist, out_score, out_hist, senscr, tp, active):
     return score, hist, out_score, out_hist, best
 
 
+def _shift_down(x, d: int, fill):
+    """Shift rows of x [P, ...] down by static d (row p reads row p-d);
+    vacated rows take ``fill``.  Static pad+slice — no gather."""
+    pad = jnp.full((d,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[:-d]], axis=0)
+
+
 def make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok, astart, aend,
-                        n_frames, with_scores: bool, tok_dtype):
+                        n_frames, with_scores: bool, tok_dtype,
+                        band=None):
     """Batch-in-lanes per-frame Viterbi step (see _eval_3st_lanes).
 
     xs = (t, sen [P, 3, B]); carry = (score [P,3,B], hist [P,3,B],
@@ -472,6 +480,17 @@ def make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok, astart, aend,
       serving workload): tp [P,3,4,B], pred_* [P,K,B], astart/aend
       [P,B] — predecessor lookups become per-lane take_along_axis
       gathers over the phone axis, everything else broadcasts.
+
+    ``band`` (per-lane form only): (band_pen [W,P,B] int32, band_ok
+    [W,P,B] bool) banded predecessor tables — slot i holds the edge
+    from node p-(W-i) to p, or absent.  Alignment chain graphs are
+    near-linear (offsets dst-src are small and positive), so the
+    per-lane gather becomes W static row-shifts + selects; the
+    measured TPU lowering of per-lane take_along_axis inside the scan
+    is ~18x slower than the whole banded loop (240 vs ~13 us/step at
+    B=64, P=64).  Tie-break: slots iterate d descending = src
+    ascending, with strict >, reproducing build_pred_table's
+    first-max-wins edge order.
     """
     P = tp.shape[0]
     E = tp.shape[1]
@@ -506,26 +525,42 @@ def make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok, astart, aend,
         ent_score = jnp.full((P, out_score.shape[1]), worst, i32)
         ent_hist = jnp.full_like(out_hist, -1)
         ent_ok = jnp.zeros_like(active)
-        for k in range(K):
-            if per_lane:
-                src = pred_idx[:, k, :]                   # [P, B]
-                ok_k = pred_ok[:, k, :] \
-                    & jnp.take_along_axis(active_next, src, axis=0)
-                val_k = jnp.where(
-                    ok_k,
-                    jnp.take_along_axis(out_score, src, axis=0)
-                    + pred_pen[:, k, :], worst)
-                hist_k = jnp.take_along_axis(out_hist, src, axis=0)
-            else:
-                src = pred_idx[:, k]                      # [P]
-                ok_k = pred_ok[:, k][:, None] & active_next[src]
-                val_k = jnp.where(
-                    ok_k, out_score[src] + pred_pen[:, k][:, None], worst)
-                hist_k = out_hist[src]
-            upd = val_k > ent_score                       # strict: first wins
-            ent_score = jnp.where(upd, val_k, ent_score)
-            ent_hist = jnp.where(upd, hist_k, ent_hist)
-            ent_ok = jnp.where(upd, ok_k, ent_ok)
+        if band is not None:
+            band_pen, band_ok = band                      # [W, P, B]
+            W = band_pen.shape[0]
+            for i in range(W):
+                d = W - i                                 # descending
+                sc_s = _shift_down(out_score, d, worst)
+                hi_s = _shift_down(out_hist, d, -1)
+                ac_s = _shift_down(active_next, d, False)
+                ok_k = band_ok[i] & ac_s
+                val_k = jnp.where(ok_k, sc_s + band_pen[i], worst)
+                upd = val_k > ent_score                   # strict: first wins
+                ent_score = jnp.where(upd, val_k, ent_score)
+                ent_hist = jnp.where(upd, hi_s, ent_hist)
+                ent_ok = jnp.where(upd, ok_k, ent_ok)
+        else:
+            for k in range(K):
+                if per_lane:
+                    src = pred_idx[:, k, :]               # [P, B]
+                    ok_k = pred_ok[:, k, :] \
+                        & jnp.take_along_axis(active_next, src, axis=0)
+                    val_k = jnp.where(
+                        ok_k,
+                        jnp.take_along_axis(out_score, src, axis=0)
+                        + pred_pen[:, k, :], worst)
+                    hist_k = jnp.take_along_axis(out_hist, src, axis=0)
+                else:
+                    src = pred_idx[:, k]                  # [P]
+                    ok_k = pred_ok[:, k][:, None] & active_next[src]
+                    val_k = jnp.where(
+                        ok_k, out_score[src] + pred_pen[:, k][:, None],
+                        worst)
+                    hist_k = out_hist[src]
+                upd = val_k > ent_score                   # strict: first wins
+                ent_score = jnp.where(upd, val_k, ent_score)
+                ent_hist = jnp.where(upd, hist_k, ent_hist)
+                ent_ok = jnp.where(upd, ok_k, ent_ok)
         ent_hist = jnp.where(ent_ok, ent_hist, -1)
         can_enter = ent_ok & (nf >= astart_b) & (nf <= aend_b) \
             & valid_frame
@@ -571,7 +606,7 @@ def vit_carry0_lanes(P: int, B: int, entry_score=None, n_emit: int = 3):
 @partial(jax.jit, static_argnums=(8,))
 def align_viterbi_batch(sen_g, tp, pred_idx, pred_pen, pred_ok,
                         astart, aend, n_frames, with_scores: bool = False,
-                        entry_score=None):
+                        entry_score=None, band_pen=None, band_ok=None):
     """Whole-batch Viterbi with the batch in the lane dimension.
 
     sen_g [B, T, S=P*3] int16/int32: senone scores already gathered per
@@ -587,6 +622,11 @@ def align_viterbi_batch(sen_g, tp, pred_idx, pred_pen, pred_ok,
     per-row form is transposed to lane-major here so the batch stays
     in the vector lanes either way.
 
+    band_pen/band_ok [B, W, P] (per-row form only): banded predecessor
+    tables from stack_graphs; when given, the K-slot gather loop is
+    replaced by W static row-shifts (see make_vit_step_lanes) — ~18x
+    faster per scan step on TPU for chain-like graphs.
+
     Returns (tok_id [B, T, S], tok_score or None, out_score [B, P],
     out_hist [B, P]).  Bit-identical to vmap(align_viterbi) — the lane
     layout changes only how XLA tiles the arrays, not the arithmetic.
@@ -596,6 +636,7 @@ def align_viterbi_batch(sen_g, tp, pred_idx, pred_pen, pred_ok,
     P = S // E
     i32 = jnp.int32
     tok_dtype = jnp.int16 if S < 32767 else jnp.int32
+    band = None
     if tp.ndim == 4:                       # per-row graphs -> lane-major
         tp = tp.transpose(1, 2, 3, 0)                  # [P,E,E+1,B]
         pred_idx = pred_idx.transpose(1, 2, 0)         # [P,K,B]
@@ -603,10 +644,13 @@ def align_viterbi_batch(sen_g, tp, pred_idx, pred_pen, pred_ok,
         pred_ok = pred_ok.transpose(1, 2, 0)
         astart = astart.T                              # [P,B]
         aend = aend.T
+        if band_pen is not None:
+            band = (band_pen.transpose(1, 2, 0),       # [W,P,B]
+                    band_ok.transpose(1, 2, 0))
     sen_l = sen_g.astype(i32).transpose(1, 2, 0).reshape(T, P, E, B)
     step = make_vit_step_lanes(tp, pred_idx, pred_pen, pred_ok,
                                astart, aend, n_frames, with_scores,
-                               tok_dtype)
+                               tok_dtype, band=band)
     carry0 = vit_carry0_lanes(P, B, entry_score, E)
     (score, hist, out_score, out_hist, _), (tok_id, tok_score) = \
         jax.lax.scan(step, carry0, (jnp.arange(T, dtype=i32), sen_l),
@@ -650,3 +694,57 @@ def backtrace(tok_id, tok_score, final_state, final_score, n_frames):
         step, (final_state, final_score if with_scores else None),
         jnp.arange(T - 1, -1, -1, dtype=jnp.int32), unroll=_scan_unroll(8))
     return path_rev[::-1], (score_rev[::-1] if with_scores else None)
+
+
+@jax.jit
+def backtrace_batch(tok_id, tok_score, final_state, final_score, n_frames):
+    """Batched device backtrace with the batch in the lane dimension.
+
+    tok_id [B, T, S], final_state/final_score/n_frames [B] ->
+    (path [B, T] int32, path_score [B, T] int32 or None).  Equivalent
+    to vmap(backtrace), but the per-lane token lookup tok[t, cur_id_b]
+    is a one-hot masked max over states ([S, B] elementwise ops per
+    step) instead of a batched dynamic gather — the gather lowering
+    inside a scan measures ~10x slower on TPU (the same pathology as
+    the per-lane predecessor gathers, see make_vit_step_lanes).
+
+    Failed rows (final_state < 0) match vmap(backtrace)'s contract at
+    the only frame extraction reads: path[n_frames-1] stays negative.
+    """
+    B, T, S = tok_id.shape
+    i32 = jnp.int32
+    with_scores = tok_score is not None
+    MIN = i32(-(1 << 30))
+    tok_rev = tok_id.transpose(1, 2, 0)[::-1]               # [T, S, B]
+    tsc_rev = (tok_score.transpose(1, 2, 0)[::-1]
+               if with_scores else None)
+    iota = jnp.arange(S, dtype=i32)[:, None]                # [S, 1]
+    ts = jnp.arange(T - 1, -1, -1, dtype=i32)
+
+    def step(carry, xs):
+        cur_id, cur_score = carry                           # [B]
+        if with_scores:
+            t, tok_t, tsc_t = xs
+        else:
+            t, tok_t = xs
+            tsc_t = None
+        oh = iota == cur_id[None, :]                        # [S, B]
+        cand = jnp.max(jnp.where(oh, tok_t.astype(i32), MIN), axis=0)
+        in_range = t < n_frames - 1
+        nid = jnp.where(in_range, cand, cur_id)
+        out = jnp.where(t < n_frames, cur_id, -1)
+        if with_scores:
+            csc = jnp.max(jnp.where(oh, tsc_t, MIN), axis=0)
+            nscore = jnp.where(in_range, csc, cur_score)
+            outs = jnp.where(t < n_frames, cur_score, -1)
+        else:
+            nscore, outs = None, None
+        return (nid, nscore), (out, outs)
+
+    xs = (ts, tok_rev, tsc_rev) if with_scores else (ts, tok_rev)
+    (_, _), (path_rev, score_rev) = jax.lax.scan(
+        step, (final_state,
+               final_score if with_scores else None), xs,
+        unroll=_scan_unroll(8))
+    path = path_rev[::-1].T                                 # [B, T]
+    return path, (score_rev[::-1].T if with_scores else None)

@@ -381,19 +381,29 @@ class GraphScorer:
         mixw_s = am.mixw_dense(senid_flat).astype(np.int64)  # [F, D, S]
         F, D = mixw_s.shape[0], mixw_s.shape[1]
         Cu = len(used_cb)
+        # top_k's TPU lowering is pathological at Cu multiples of 8
+        # >= 16 (Cu=16/24/32 measure ~2.3x slower than 15/17/20 at the
+        # same T — see _topn_argmax): dodge by duplicating one codebook
+        # row.  No senone references the pad row (cb_pos stays < Cu)
+        # and the cross-codebook norm max is unchanged by a duplicate.
+        cb_rows = used_cb
+        if Cu >= 16 and Cu % 8 == 0:
+            cb_rows = np.concatenate([used_cb, used_cb[:1]])
         # wsel[f, c*D+d, s] = mixw_s[f, d, s] iff graph state s uses
         # codebook row c: one [T, Cu*D] one-hot matmul then yields the
         # per-state mixture weight mw[t, s] on the MXU.  bf16 entries
         # are integers <= 255, exactly representable; accumulation f32.
-        wsel = np.zeros((F, Cu * D, S), np.float32)
+        # (rows sized for the possibly-padded codebook count; the pad
+        # block stays all-zero, contributing nothing to any state)
+        wsel = np.zeros((F, len(cb_rows) * D, S), np.float32)
         rows = cb_pos[None, :] * D + np.arange(D)[:, None]   # [D, S]
         wsel[:, rows, np.arange(S)[None, :]] = mixw_s
         mm_dtype = (jnp.bfloat16 if jax.default_backend() not in ("cpu",)
                     else jnp.float32)
         return cls(
-            means=jnp.asarray(np.asarray(am.means)[used_cb]),
-            var_t=jnp.asarray(np.asarray(am.var_t)[used_cb]),
-            det=jnp.asarray(np.asarray(am.det)[used_cb]),
+            means=jnp.asarray(np.asarray(am.means)[cb_rows]),
+            var_t=jnp.asarray(np.asarray(am.var_t)[cb_rows]),
+            det=jnp.asarray(np.asarray(am.det)[cb_rows]),
             wsel=jnp.asarray(wsel, dtype=mm_dtype),
             cb_pos=jnp.asarray(cb_pos),
             table_thresh=tables.table_thresh,

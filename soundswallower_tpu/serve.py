@@ -83,7 +83,7 @@ class AlignService:
         T = self.aligner.fe.n_frames(longest)
         self.aligner.tmax_floor = max(self.aligner.tmax_floor,
                                       -(-T // 64) * 64)
-        p_max, k_max = 0, 1
+        p_max, k_max, w_max = 0, 1, 0
         for _, text in ordered:
             try:
                 g = self.aligner.graph_for_text(text)
@@ -92,10 +92,13 @@ class AlignService:
             p_max = max(p_max, len(g.ssid))
             if len(g.edge_dst):
                 k_max = max(k_max, int(np.bincount(g.edge_dst).max()))
+                w_max = max(w_max, int((g.edge_dst - g.edge_src).max()))
         self.aligner.graph_p_floor = max(self.aligner.graph_p_floor,
                                          -(-p_max // 32) * 32)
         self.aligner.graph_k_floor = max(self.aligner.graph_k_floor,
                                          -(-k_max // 2) * 2)
+        self.aligner.graph_w_floor = max(self.aligner.graph_w_floor,
+                                         -(-w_max // 8) * 8)
         for n in sizes:
             if n > self.max_batch:
                 continue
