@@ -39,16 +39,18 @@ WORDS = {"go": (46, 64), "forward": (64, 117), "ten": (117, 153),
 SIL = (0, 46)
 
 
-def make_mixed(raw, B, seed=0):
-    """B distinct 4-word transcripts with matching audio built from
-    goforward word slices (+ leading/trailing silence)."""
+def make_mixed(raw, B, seed=0, n_words=4):
+    """B distinct n_words-word transcripts with matching audio built
+    from goforward word slices (+ leading/trailing silence).  4 base
+    words give 4**n_words possible transcripts; callers needing B >
+    ~200 distinct should pass n_words=5."""
     rng = np.random.RandomState(seed)
     S = 160
     names = list(WORDS)
     sil = raw[SIL[0] * S: SIL[1] * S]
     pairs, seen = [], set()
     while len(pairs) < B:
-        ws = tuple(rng.choice(names, 4))
+        ws = tuple(rng.choice(names, n_words))
         if ws in seen:
             continue
         seen.add(ws)
@@ -83,7 +85,7 @@ def bench_same(al, raw, batch, reps, dist_mode, rng):
 
 
 def bench_mixed(al, raw, batch, reps, dist_mode, rng):
-    pairs = make_mixed(raw, batch)
+    pairs = make_mixed(raw, batch, n_words=5 if batch > 200 else 4)
     audios = [a for a, _ in pairs]
     texts = [t for _, t in pairs]
     audio_sec = sum(len(a) for a in audios) / 16000.0
@@ -105,6 +107,72 @@ def bench_mixed(al, raw, batch, reps, dist_mode, rng):
     dt = (time.time() - t0) / reps
     assert all(o is not None for o in out)
     return audio_sec / dt, len(set(texts))
+
+
+def bench_stages(al, raw, batch, dist_mode, rng):
+    """Stage-level timing of the mixed path (host FE / h2d / features /
+    scoring / gather / viterbi+backtrace / d2h / extract), so the
+    throughput bound is measured, not guessed (VERDICT r4 item 1).
+    Each stage forces completion with a host fetch — plain
+    block_until_ready does not wait for execution on the tunnel
+    runtime.  Unpipelined sums exceed the pipelined e2e numbers above
+    (host stages overlap device stages there)."""
+    import jax
+
+    from soundswallower_tpu.aligner import _gather_cols
+    from soundswallower_tpu.ops.senscore_jax import score_frames_graph
+
+    pairs = make_mixed(raw, batch, n_words=5 if batch > 200 else 4)
+    audios = [a + rng.randint(-1, 2, len(a)).astype(np.int16)
+              for a, _ in pairs]
+    texts = [t for _, t in pairs]
+    audio_sec = sum(len(a) for a in audios) / 16000.0
+    graphs = [al.graph_for_text(t) for t in texts]
+    uni = al._union_scorer(graphs)
+    st = al._stacked_graphs(graphs, remap=uni["pos"], remap_ver=uni["ver"])
+    ns = np.array([len(a) for a in audios])
+    Ts = np.array([al.fe.n_frames(int(n)) for n in ns])
+    Tmax = max(64, al.tmax_floor, -(-int(Ts.max()) // 64) * 64)
+
+    def t(fn, fetch, reps=4):
+        out = fn()
+        fetch(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        fetch(out)
+        return (time.perf_counter() - t0) / reps, out
+
+    # force completion by fetching ONE scalar (a full-array fetch would
+    # measure the d2h transfer, not the stage)
+    fetch_j = lambda o: np.asarray(o.ravel()[0])  # noqa: E731
+    d_fe, pl = t(lambda: al.native_fe.process_list_i16p(
+        audios, Tmax, al.wire_scale), lambda o: None)
+    d_h2d, pl_d = t(lambda: jax.device_put(pl), fetch_j)
+    Ts_d = jax.device_put(Ts)
+    d_feat, fv = t(lambda: al._feats_chunk_planes(pl_d, Ts_d, Tmax),
+                   fetch_j)
+    flat = fv.reshape((-1,) + fv.shape[2:])
+    d_score, dense = t(
+        lambda: score_frames_graph(uni["gs"], flat, dist_mode), fetch_j)
+    dense = dense.reshape(len(audios), Tmax, -1)
+    d_gather, sen = t(lambda: _gather_cols(dense, st["sencols"]), fetch_j)
+    Ts32 = jax.device_put(Ts.astype(np.int32))
+    d_vit, vout = t(lambda: al._vit_full_mg(st, sen, Ts32),
+                    lambda o: np.asarray(o[0].ravel()[0]))
+    d_d2h, fetched = t(lambda: (np.array(vout[0]), np.array(vout[2])),
+                       lambda o: None)
+    paths, fins = fetched
+    d_ex, _ = t(lambda: [al._extract_safe(graphs[i], paths[i], int(Ts[i]),
+                                          int(fins[i]))
+                         for i in range(len(audios))], lambda o: None)
+    ms = {k: round(v * 1000, 2) for k, v in
+          [("host_fe", d_fe), ("h2d", d_h2d), ("feats", d_feat),
+           ("score", d_score), ("gather", d_gather),
+           ("viterbi_backtrace", d_vit), ("d2h", d_d2h),
+           ("extract", d_ex)]}
+    ms["audio_s"] = round(audio_sec, 1)
+    return ms
 
 
 def bench_serve(al, raw, n_req=128, conc=32):
@@ -148,10 +216,10 @@ def main():
     from soundswallower_tpu.aligner import TpuAligner
 
     batch = int(os.environ.get("BENCH_BATCH", "512"))
-    mixed_batch = int(os.environ.get("BENCH_MIXED_BATCH", "64"))
+    mixed_batch = int(os.environ.get("BENCH_MIXED_BATCH", "256"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     dist_mode = os.environ.get("BENCH_DIST", "fold")
-    os.environ.setdefault("SST_BATCH_CHUNK", "64")
+    os.environ.setdefault("SST_BATCH_CHUNK", "128")
 
     raw = np.fromfile("/root/reference/tests/data/goforward.raw",
                       dtype=np.int16)
@@ -161,6 +229,7 @@ def main():
     value = bench_same(al, raw, batch, reps, dist_mode, rng)
     mixed_val, n_distinct = bench_mixed(al, raw, mixed_batch, reps,
                                         dist_mode, rng)
+    stages = bench_stages(al, raw, mixed_batch, dist_mode, rng)
     p50, p95, p99 = bench_serve(al, raw)
 
     out = {
@@ -174,6 +243,7 @@ def main():
             "batch": mixed_batch,
             "distinct_transcripts": n_distinct,
             "vs_baseline": round(mixed_val / 1000.0, 3),
+            "stage_ms": stages,
         },
         "serve_p50_ms": round(p50, 1),
         "serve_p95_ms": round(p95, 1),

@@ -286,7 +286,7 @@ class TpuAligner:
         return path, final_score
 
     def _extract(self, g: AlignGraph, path, T: int,
-                 final_score: int, pscore=None) -> list[WordSeg]:
+                 final_score: int, pscore=None, ch=None) -> list[WordSeg]:
         """Decoded state path -> word/phone segments.
 
         Follows state_align_search_finish's boundary rule
@@ -307,36 +307,50 @@ class TpuAligner:
         # (vectorized: the per-frame Python loop was ~0.1 ms/utt, which
         # at B=512 batches was ~6% of end-to-end wall time)
         p = np.asarray(path[:T])
-        ch = np.nonzero(p[1:] != p[:-1])[0]      # change between t=ch, ch+1
-        bounds = [0] + (ch + 2).tolist() + [T]   # +1: reference convention
-        nodes_seq = p[ch].tolist() + [int(p[T - 1])]
-
-        def seg_score(s, e):  # frames [s, e)
-            if pscore is None:
-                return 0
-            hi = int(pscore[min(e, T) - 1])
-            lo = int(pscore[s - 1]) if s > 0 else 0
-            return hi - lo
-
-        phones: list[tuple[int, int, int, int]] = []  # node, start, dur, score
+        if ch is None:
+            ch = np.nonzero(p[1:] != p[:-1])[0]  # change between t=ch, ch+1
+        else:
+            # precomputed whole-batch change points (over the padded
+            # row) — keep only those inside the live frame range
+            ch = ch[ch < T - 1]
         E = g.senid.shape[1]
-        for i, st in enumerate(nodes_seq):
-            node = st // E
-            start = bounds[i]
-            dur = bounds[i + 1] - bounds[i]
-            if dur <= 0:
-                continue
-            sc = seg_score(start, start + dur)
-            if phones and phones[-1][0] == node:
-                n0, s0, d0, sc0 = phones[-1]
-                phones[-1] = (n0, s0, d0 + dur, sc0 + sc)
-            else:
-                phones.append((node, start, dur, sc))
+        # State runs -> phone runs, fully in numpy (the per-run Python
+        # loop was ~45 ms/batch at B=512).  Run i covers frames
+        # [starts[i], ends[i]); bounds partition [0, T] with the +1
+        # interior shift of the reference convention, so only the LAST
+        # run can be empty (when the last change lands at T-2).
+        n_runs = len(ch) + 1
+        nodes = np.empty(n_runs, np.int64)
+        nodes[:-1] = p[ch] // E
+        nodes[-1] = int(p[T - 1]) // E
+        starts = np.empty(n_runs, np.int64)
+        starts[0] = 0
+        starts[1:] = ch + 2                      # +1: reference convention
+        ends = np.empty(n_runs, np.int64)
+        ends[:-1] = ch + 2
+        ends[-1] = T
+        if n_runs > 1 and ends[-1] == starts[-1]:
+            nodes, starts, ends = nodes[:-1], starts[:-1], ends[:-1]
+        # merge consecutive same-node runs into phone segments
+        pb = np.nonzero(np.concatenate(([True], nodes[1:] != nodes[:-1])))[0]
+        p_node = nodes[pb].tolist()
+        p_start = starts[pb]
+        p_end = np.concatenate((p_start[1:], ends[-1:]))
+        if pscore is not None:
+            hi = np.asarray(pscore)[p_end - 1].astype(np.int64)
+            lo = np.where(p_start > 0,
+                          np.asarray(pscore)[np.maximum(p_start, 1) - 1],
+                          0).astype(np.int64)
+            p_sc = (hi - lo).tolist()
+        else:
+            p_sc = [0] * len(pb)
+        p_dur = (p_end - p_start).tolist()
+        p_start = p_start.tolist()
         # group phone nodes into words
         cur_word = None
         cur = None
         out: list[WordSeg] = []
-        for node, start, dur, sc in phones:
+        for node, start, dur, sc in zip(p_node, p_start, p_dur, p_sc):
             w = int(g.word_of[node])
             ci = self.am.mdef.ciphone_str(int(g.cipid[node]))
             if w < 0:
@@ -494,10 +508,18 @@ class TpuAligner:
         paths = np.asarray(paths_d)
         pscores = None if pscore_d is None else np.asarray(pscore_d)
         final_sc = np.asarray(final_d)
+        # One whole-batch change-point pass (paths[:,1:] != paths[:,:-1])
+        # instead of a per-row nonzero: at B=512 the per-row numpy-call
+        # overhead was ~half of a 50 ms extract stage.
+        if realB and paths.shape[0]:
+            diff = paths[:realB, 1:] != paths[:realB, :-1]
+            rows, cols = np.nonzero(diff)
+            split = np.searchsorted(rows, np.arange(realB + 1))
         return [
             self._extract_safe(g[i] if isinstance(g, list) else g,
                                paths[i], int(Ts[i]), int(final_sc[i]),
-                               None if pscores is None else pscores[i])
+                               None if pscores is None else pscores[i],
+                               ch=cols[split[i]:split[i + 1]])
             for i in range(realB)
         ]
 
@@ -526,7 +548,7 @@ class TpuAligner:
         ns = np.array([len(a) for a in audios])
         Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
         Tmax = max(64, self.tmax_floor, -(-int(Ts.max()) // 64) * 64)
-        chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "64")))
+        chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "128")))
         buf = None
         fe_futs = None
         if self.native_fe is None or self.wire != "i16p":
@@ -615,7 +637,7 @@ class TpuAligner:
         ns = np.array([len(a) for a in audios])
         Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
         Tmax = max(64, self.tmax_floor, -(-int(Ts.max()) // 64) * 64)
-        chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "64")))
+        chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "128")))
         buf = None
         fe_futs = None
         if self.native_fe is None or self.wire != "i16p":
@@ -773,11 +795,12 @@ class TpuAligner:
                      band_pen=st.get("band_pen"),
                      band_ok=st.get("band_ok"))
 
-    def _extract_safe(self, g, path, T, final_score, pscore=None):
+    def _extract_safe(self, g, path, T, final_score, pscore=None,
+                      ch=None):
         """Per-utterance failure isolation (SURVEY §5: an unreachable
         alignment flags THAT utterance, it doesn't kill the batch)."""
         try:
-            return self._extract(g, path, T, final_score, pscore)
+            return self._extract(g, path, T, final_score, pscore, ch=ch)
         except RuntimeError:
             return None
 
