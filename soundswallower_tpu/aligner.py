@@ -166,6 +166,8 @@ class TpuAligner:
         self.graph_p_floor = 0
         self.graph_k_floor = 0
         self.graph_w_floor = 0
+        # data-parallel device mesh (use_mesh); None = single device
+        self.mesh = None
         # Opt-in per-segment scores: the Viterbi also emits the token
         # score stack and the backtrace returns the cumulative path
         # score per frame, from which extraction derives per-phone /
@@ -193,6 +195,64 @@ class TpuAligner:
                      "_stack_cache", "_uni"):
             if hasattr(self, name):
                 delattr(self, name)
+
+    # -- data-parallel mesh ------------------------------------------------
+
+    def use_mesh(self, mesh) -> None:
+        """Shard subsequent batch calls over the ('data',) axis of
+        ``mesh`` (SURVEY §2.3 DP row: batch sharded over chips, model
+        tables replicated).  The pipeline needs NO collectives — every
+        stage is row-local — so the same jits compile to per-shard
+        programs under GSPMD.  In a multi-process (multi-host) run,
+        each host passes only its LOCAL rows to align_batch and gets
+        its local results back (per-host data loading; DCN stays off
+        the hot path).  Pass None to return to single-device."""
+        self.mesh = mesh
+        # device caches hold arrays with the previous placement
+        for name in ("_graph_const_cache", "_stack_cache"):
+            if hasattr(self, name):
+                getattr(self, name).clear()
+        if hasattr(self, "_uni"):
+            delattr(self, "_uni")
+
+    def _nd_local(self) -> int:
+        """Local device count of the mesh (divides the local batch)."""
+        if self.mesh is None:
+            return 1
+        import jax as _jax
+        return max(1, self.mesh.devices.size // max(1, _jax.process_count()))
+
+    def _put_batch(self, x, axis: int = 0):
+        """device_put with the batch axis sharded over ('data',) when a
+        mesh is active; assembles per-process local rows into the
+        global array in multi-host runs."""
+        if self.mesh is None:
+            return jax.device_put(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = [None] * np.ndim(x)
+        spec[axis] = "data"
+        sh = NamedSharding(self.mesh, P(*spec))
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
+
+    def _put_rep(self, x):
+        """Replicated placement over the mesh (model/graph tables)."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P())
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
+
+    def _fetch_rows(self, x):
+        """Device->host rows of a batch result: all rows single-host,
+        THIS host's rows (in order) under multi-host sharding."""
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(x)
+        from .parallel.multihost import local_results
+        return local_results(x)
 
     def spectrogram(self, audio: np.ndarray,
                     smooth: bool = False) -> np.ndarray:
@@ -505,9 +565,9 @@ class TpuAligner:
 
     def _batch_end(self, handle):
         g, Ts, paths_d, pscore_d, final_d, realB = handle
-        paths = np.asarray(paths_d)
-        pscores = None if pscore_d is None else np.asarray(pscore_d)
-        final_sc = np.asarray(final_d)
+        paths = self._fetch_rows(paths_d)
+        pscores = None if pscore_d is None else self._fetch_rows(pscore_d)
+        final_sc = self._fetch_rows(final_d)
         # One whole-batch change-point pass (paths[:,1:] != paths[:,:-1])
         # instead of a per-row nonzero: at B=512 the per-row numpy-call
         # overhead was ~half of a 50 ms extract stage.
@@ -544,11 +604,17 @@ class TpuAligner:
         # dropped in _batch_end.
         B = (max(8, 1 << (realB - 1).bit_length()) if realB <= 64
              else -(-realB // 64) * 64)
+        nd = self._nd_local()
+        B = -(-B // nd) * nd              # divisible over the mesh shard
         audios = list(audios) + [audios[-1]] * (B - realB)
         ns = np.array([len(a) for a in audios])
         Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
         Tmax = max(64, self.tmax_floor, -(-int(Ts.max()) // 64) * 64)
         chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "128")))
+        if self.mesh is not None:
+            # one chunk: chunked uploads would each shard over the whole
+            # mesh and the concat would reshard (cross-device traffic)
+            chunk = B
         buf = None
         fe_futs = None
         if self.native_fe is None or self.wire != "i16p":
@@ -570,30 +636,31 @@ class TpuAligner:
             ]
         sen_chunks = []
         for ci, i0 in enumerate(range(0, B, chunk)):
-            Ts_d = jax.device_put(Ts[i0:i0 + chunk])
+            Ts_d = self._put_batch(Ts[i0:i0 + chunk])
             if fe_futs is not None:
                 pl = fe_futs[ci].result()
                 sen_g = self._score_chunk_planes(
-                    g, jax.device_put(pl), Ts_d, Tmax, dist_mode)
+                    g, self._put_batch(pl, axis=1), Ts_d, Tmax, dist_mode)
             elif self.native_fe is not None:
                 cep = self.native_fe.process_batch(
                     buf[i0:i0 + chunk], ns[i0:i0 + chunk], Tmax)
-                sen_g = self._score_chunk_cep(g, jax.device_put(cep), Ts_d,
+                sen_g = self._score_chunk_cep(g, self._put_batch(cep), Ts_d,
                                               Tmax, dist_mode)
             else:
-                buf_d = jax.device_put(buf[i0:i0 + chunk])
-                ns_d = jax.device_put(ns[i0:i0 + chunk])
+                buf_d = self._put_batch(buf[i0:i0 + chunk])
+                ns_d = self._put_batch(ns[i0:i0 + chunk])
                 sen_g = self._score_chunk_raw(g, buf_d, ns_d, Ts_d, Tmax,
                                               dist_mode)
             sen_chunks.append(sen_g)
         sen_all = sen_chunks[0] if len(sen_chunks) == 1 \
             else jnp.concatenate(sen_chunks, axis=0)
         paths, pscore, final_sc = self._vit_full(
-            g, sen_all, jax.device_put(Ts.astype(np.int32)))
-        paths.copy_to_host_async()
-        if pscore is not None:
-            pscore.copy_to_host_async()
-        final_sc.copy_to_host_async()
+            g, sen_all, self._put_batch(Ts.astype(np.int32)))
+        if getattr(paths, "is_fully_addressable", True):
+            paths.copy_to_host_async()
+            if pscore is not None:
+                pscore.copy_to_host_async()
+            final_sc.copy_to_host_async()
         return (g, Ts[:realB], paths, pscore, final_sc, realB)
 
     def _batch_begin_mixed(self, graphs: list, audios, dist_mode: str):
@@ -626,6 +693,8 @@ class TpuAligner:
                     None, np.zeros(0, np.int32), 0)
         B = (max(8, 1 << (realB - 1).bit_length()) if realB <= 64
              else -(-realB // 64) * 64)
+        nd = self._nd_local()
+        B = -(-B // nd) * nd              # divisible over the mesh shard
         audios = list(audios) + [audios[-1]] * (B - realB)
         graphs = list(graphs) + [graphs[-1]] * (B - realB)
         uni = None if self.want_scores else self._union_scorer(graphs)
@@ -638,6 +707,8 @@ class TpuAligner:
         Ts = np.array([self.fe.n_frames(int(n)) for n in ns])
         Tmax = max(64, self.tmax_floor, -(-int(Ts.max()) // 64) * 64)
         chunk = max(1, int(os.environ.get("SST_BATCH_CHUNK", "128")))
+        if self.mesh is not None:
+            chunk = B                     # see _batch_begin
         buf = None
         fe_futs = None
         if self.native_fe is None or self.wire != "i16p":
@@ -656,20 +727,20 @@ class TpuAligner:
             ]
         sen_chunks = []
         for ci, i0 in enumerate(range(0, B, chunk)):
-            Ts_d = jax.device_put(Ts[i0:i0 + chunk])
+            Ts_d = self._put_batch(Ts[i0:i0 + chunk])
             if fe_futs is not None:
                 pl = fe_futs[ci].result()
-                feats = self._feats_chunk_planes(jax.device_put(pl), Ts_d,
-                                                 Tmax)
+                feats = self._feats_chunk_planes(
+                    self._put_batch(pl, axis=1), Ts_d, Tmax)
             elif self.native_fe is not None:
                 cep = self.native_fe.process_batch(
                     buf[i0:i0 + chunk], ns[i0:i0 + chunk], Tmax)
-                feats = self._feats_chunk_cep(jax.device_put(cep), Ts_d,
+                feats = self._feats_chunk_cep(self._put_batch(cep), Ts_d,
                                               Tmax)
             else:
                 feats = self._feats_chunk_raw(
-                    jax.device_put(buf[i0:i0 + chunk]),
-                    jax.device_put(ns[i0:i0 + chunk]), Ts_d, Tmax)
+                    self._put_batch(buf[i0:i0 + chunk]),
+                    self._put_batch(ns[i0:i0 + chunk]), Ts_d, Tmax)
             flat = feats.reshape((-1,) + feats.shape[2:])
             if uni is not None:
                 dense = score_frames_graph(uni["gs"], flat,
@@ -681,11 +752,12 @@ class TpuAligner:
         sen_all = sen_chunks[0] if len(sen_chunks) == 1 \
             else jnp.concatenate(sen_chunks, axis=0)
         paths, pscore, final_sc = self._vit_full_mg(
-            st, sen_all, jax.device_put(Ts.astype(np.int32)))
-        paths.copy_to_host_async()
-        if pscore is not None:
-            pscore.copy_to_host_async()
-        final_sc.copy_to_host_async()
+            st, sen_all, self._put_batch(Ts.astype(np.int32)))
+        if getattr(paths, "is_fully_addressable", True):
+            paths.copy_to_host_async()
+            if pscore is not None:
+                pscore.copy_to_host_async()
+            final_sc.copy_to_host_async()
         return (graphs[:realB], Ts[:realB], paths, pscore, final_sc, realB)
 
     # mixed batches switch from union-restricted to dense scoring once
@@ -726,8 +798,12 @@ class TpuAligner:
             senid_flat[: len(senset)] = senset
             pos = np.full(self.am.n_sen, -1, np.int32)
             pos[senset] = np.arange(len(senset), dtype=np.int32)
+            gs = GraphScorer.build(self.am, self.tables, senid_flat)
+            if self.mesh is not None:
+                gs = jax.tree_util.tree_map(
+                    lambda x: self._put_rep(np.asarray(x)), gs)
             u.update(ver=u["ver"] + 1, senset=senset, Spad=Spad, pos=pos,
-                     gs=GraphScorer.build(self.am, self.tables, senid_flat))
+                     gs=gs)
         return u
 
     def _stacked_graphs(self, graphs: list, remap: np.ndarray | None = None,
@@ -750,7 +826,9 @@ class TpuAligner:
                                p_floor=self.graph_p_floor,
                                k_floor=self.graph_k_floor,
                                w_floor=self.graph_w_floor)
-            st = {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+            # every stacked tensor is batch-major -> shard axis 0 when
+            # a data mesh is active (tables are per-ROW graph data)
+            st = {k: (self._put_batch(v) if isinstance(v, np.ndarray) else v)
                   for k, v in raw.items()}
             if len(self._stack_cache) >= 32:
                 self._stack_cache.pop(next(iter(self._stack_cache)))
@@ -1099,24 +1177,30 @@ class TpuAligner:
 
     def _graph_consts(self, g: AlignGraph):
         """Device-resident per-graph Viterbi + scoring constants,
-        cached (incl. the graph-restricted GraphScorer)."""
+        cached (incl. the graph-restricted GraphScorer).  Under a data
+        mesh the tables are REPLICATED across devices (SURVEY §2.3:
+        model tables replicate, the batch shards)."""
         if not hasattr(self, "_graph_const_cache"):
             self._graph_const_cache = {}
         c = self._graph_const_cache.get(g.serial)
         if c is None:
-            entry = jnp.asarray(np.where(g.is_entry, g.entry_pen,
-                                         WORST_SCORE).astype(np.int32))
-            senid = jnp.asarray(
-                self.tables.sen_remap[g.senid].astype(np.int32))
-            tp = self.tmat_i32[jnp.asarray(g.tmatid)]
+            rep = self._put_rep
+            entry = rep(np.where(g.is_entry, g.entry_pen,
+                                 WORST_SCORE).astype(np.int32))
+            senid = rep(self.tables.sen_remap[g.senid].astype(np.int32))
+            tp = rep(np.asarray(self.am.tmat.astype(np.int32))[g.tmatid])
             pi, pp, pk = build_pred_table(g.edge_src, g.edge_dst,
                                           g.edge_pen, len(g.senid))
+            gs = GraphScorer.build(self.am, self.tables, g.senid)
+            if self.mesh is not None:
+                gs = jax.tree_util.tree_map(
+                    lambda x: rep(np.asarray(x)), gs)
             c = dict(entry=entry, senid=senid, tp=tp,
-                     pi=jnp.asarray(pi), pp=jnp.asarray(pp),
-                     pk=jnp.asarray(pk), ast=jnp.asarray(g.astart),
-                     aen=jnp.asarray(g.aend),
-                     fin=jnp.asarray(g.final_nodes),
-                     gs=GraphScorer.build(self.am, self.tables, g.senid))
+                     pi=rep(pi), pp=rep(pp),
+                     pk=rep(pk), ast=rep(g.astart),
+                     aen=rep(g.aend),
+                     fin=rep(g.final_nodes),
+                     gs=gs)
             self._graph_const_cache[g.serial] = c
         return c
 
