@@ -108,14 +108,20 @@ class Jsgf:
 
     @classmethod
     def parse_file(cls, path: str) -> "Jsgf":
+        # the file's own directory must be searchable BEFORE parsing:
+        # imports resolve eagerly during the parse (jsgf_parse_file
+        # seeds the search path first, jsgf.c:662-740)
         with open(path, encoding="utf-8") as fh:
-            g = cls.parse_string(fh.read())
-        g.searchpath.insert(0, os.path.dirname(path) or ".")
-        return g
+            return cls.parse_string(
+                fh.read(),
+                searchpath=[os.path.dirname(path) or ".", "."])
 
     @classmethod
-    def parse_string(cls, text: str) -> "Jsgf":
+    def parse_string(cls, text: str,
+                     searchpath: list[str] | None = None) -> "Jsgf":
         g = cls()
+        if searchpath is not None:
+            g.searchpath = list(searchpath)
         toks = _tokenize(text)
         i = 0
 

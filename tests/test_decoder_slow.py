@@ -139,3 +139,29 @@ def test_ms_backend_json_byte_parity(ms_en):
     d.alignment()
     js = d.result_json(0.0, 2)
     assert js == open(f"{GOLDEN}/ms-en/result.json").read()
+
+
+@slow
+def test_pizza_branching_beam_parity():
+    """The byte-exact beam-search port on the reference's own branching
+    grammar (pizza.gram: optionals, alternations, a Kleene topping
+    loop) over mismatched audio: hyp and every word boundary equal to
+    the C beam search at default beams (golden fsg-pizza)."""
+    from soundswallower_tpu.decoder import Decoder
+
+    d = Decoder(hmm="/root/reference/model/en-us",
+                jsgf="/root/reference/tests/data/pizza.gram")
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", dtype=np.int16)
+    d.start_utt()
+    d.process_raw(raw)
+    d.end_utt()
+    assert d.hyp.text == "yo four large tomatoes"
+    segs = [(s["word"], s["sf"], s["ef"]) for s in d.seg_iter()
+            if s["word"] is not None and s["word"] != "(NULL)"]
+    gold = []
+    for line in open(f"{GOLDEN}/fsg-pizza/segs.txt"):
+        w, sf, ef, ascr, lscr = line.split()
+        if w == "(NULL)":
+            continue
+        gold.append((w, int(sf), int(ef)))
+    assert segs == gold

@@ -152,7 +152,10 @@ def _viterbi_windows(al, g, audio, windows):
                 continue
             m = np.asarray(g.word_of) == wi
             ast[m] = np.maximum(ast[m], sf)
-            aen[m] = np.minimum(aen[m], ef)
+            # ef + 1: the kernel hands a word off at frame ef
+            # only if it is still active at ef + 1 (active_next
+            # gating in make_vit_step)
+            aen[m] = np.minimum(aen[m], ef + 1)
             wi += 1
     P, E = g.senid.shape
     ident = np.arange(P * E, dtype=np.int32).reshape(P, E)
