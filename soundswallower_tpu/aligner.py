@@ -598,6 +598,11 @@ class TpuAligner:
         if realB == 0:
             return (g, np.zeros(0, np.int64), np.zeros((0, 0), np.int16),
                     None, np.zeros(0, np.int32), 0)
+        if self.am.backend == "ms":
+            # ms models have no graph-restricted scorer: score dense
+            # (score_frames' ms path) + per-row gather via the
+            # multi-graph machinery
+            return self._batch_begin_mixed([g] * realB, audios, dist_mode)
         # Bucket the batch size so serving-style variable batches reuse
         # a bounded set of compiled shapes (first TPU compile of a new
         # shape is ~20-40s); pad rows repeat the last utterance and are
@@ -782,7 +787,8 @@ class TpuAligner:
         u = getattr(self, "_uni", None)
         if u is None:
             u = self._uni = dict(ver=0, senset=np.zeros(0, np.int64),
-                                 gs=None, Spad=0, dense=False,
+                                 gs=None, Spad=0,
+                                 dense=self.am.backend == "ms",
                                  pos=np.full(self.am.n_sen, -1, np.int32))
         if u["dense"]:
             return None

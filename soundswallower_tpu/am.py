@@ -144,6 +144,30 @@ class AcousticModel:
                 n_feat=n_feat, n_density=n_density, veclen=veclen,
             )
 
+        # Backend selection (acmod_load_am, acmod.c:101-119).  The 1:1
+        # no-senmgau fallback (".cont.", ms_senone.c:225-241): a model
+        # whose codebook count is neither 1 nor n_ciphone maps each
+        # senone to its own codebook and runs the ms backend.
+        if n_mgau not in (1, mdef.n_ciphone):
+            if n_mgau != mdef.n_sen:
+                raise ValueError(
+                    f"no senmgau and n_mgau {n_mgau} matches neither 1, "
+                    f"n_ciphone {mdef.n_ciphone}, nor n_sen {mdef.n_sen}")
+            if not config["mixw"]:
+                raise ValueError("ms backend needs a mixw file")
+            pdf = s3.read_mixw_float(config["mixw"])
+            mixw = quantize_mixw_ms(pdf, config.get_float("mixwfloor"),
+                                    lmath)
+            return cls(
+                mdef=mdef, tmat=tmat, means=means, var_t=var_t, det=det,
+                mixw=mixw, mixw_cb=None,
+                sen2cb=np.arange(mdef.n_sen, dtype=np.int32),
+                lmath=lmath, lmath_8b=lmath_8b, backend="ms",
+                max_topn=config.get_int("topn"),
+                ds_ratio=config.get_int("ds"), aw=config.get_int("aw"),
+                n_feat=n_feat, n_density=n_density, veclen=veclen,
+            )
+
         mixw_cb = None
         if config["sendump"]:
             mixw, mixw_cb = s3.read_sendump(
@@ -156,17 +180,12 @@ class AcousticModel:
         else:
             raise ValueError("Neither sendump nor mixw available")
 
-        # Backend selection (acmod_load_am, acmod.c:101-119)
         if n_mgau == mdef.n_ciphone:
             backend = "ptm"
             sen2cb = mdef.sen2cimap.astype(np.int32)
-        elif n_mgau == 1:
+        else:
             backend = "semi"
             sen2cb = np.zeros(mdef.n_sen, dtype=np.int32)
-        else:
-            backend = "ms"
-            sen2cb = None  # needs senmgau map; not yet supported
-            raise NotImplementedError("ms (fully continuous) backend: TODO")
 
         return cls(
             mdef=mdef, tmat=tmat, means=means, var_t=var_t, det=det,
@@ -212,6 +231,10 @@ class AcousticModel:
         if sens is None:
             sens = np.arange(self.n_sen)
         sens = np.asarray(sens, np.int64)
+        if self.backend == "ms":
+            # ms stores the untransposed [sen, feat, comp] layout
+            # (quantize_mixw_ms / ms_senone.c:104-200)
+            return np.transpose(self.mixw[sens], (1, 2, 0))
         if self.mixw_cb is None:
             return self.mixw[:, :, sens]
         packed = self.mixw[:, :, sens // 2].astype(np.int64)

@@ -55,12 +55,19 @@ class ScorerTables:
     table_thresh: jnp.ndarray  # int32 [K] log-add staircase thresholds
     sen_remap_dev: jnp.ndarray  # int32 [n_sen] senone id -> grouped column
     sen_remap: np.ndarray = field(metadata=dict(static=False))
+    # ms backend only: untransposed mixture weights [S, F, D] int32,
+    # the senone->codebook map, and the grouped-column inverse permutation
+    mixw_ms: jnp.ndarray | None = None
+    sen2cb: jnp.ndarray | None = None
+    sen_inv: jnp.ndarray | None = None
     max_topn: int = field(metadata=dict(static=True), default=4)
     n_sen: int = field(metadata=dict(static=True), default=0)
     backend: str = field(metadata=dict(static=True), default="ptm")
     # semi 4-bit quirk: mixw + codeword score truncates to uint8 before
     # the log-add (s2_semi_mgau.c:452-461; see am.mixw_wrap_u8)
     wrap_u8: bool = field(metadata=dict(static=True), default=False)
+    zero8: int = field(metadata=dict(static=True), default=0)
+    aw: int = field(metadata=dict(static=True), default=1)
 
     @classmethod
     def from_am(cls, am: AcousticModel) -> "ScorerTables":
@@ -77,7 +84,10 @@ class ScorerTables:
         # the shipped models.  Column remap: [n_sen] -> grp*M + slot.
         sen2cb = np.asarray(am.sen2cb, dtype=np.int64)
         counts = np.bincount(sen2cb, minlength=n_cb)
-        M = 128
+        # slots per group: 128 caps the grouped-matrix width for ptm /
+        # semi; the ms 1:1 mapping (one senone per codebook) collapses
+        # to M=1, which also makes sen_remap the identity
+        M = min(128, max(1, int(counts.max())))
         grp_start = np.zeros(n_cb + 1, np.int64)
         grp_start[1:] = np.cumsum(np.maximum(1, -(-counts // M)))
         n_grp = int(grp_start[-1])
@@ -111,6 +121,19 @@ class ScorerTables:
         d = np.arange(len(table))
         recon = (d[:, None] < thresh[None, :]).sum(1)
         assert (recon == table).all(), "log-add staircase mismatch"
+        mixw_ms = None
+        cb_dev = None
+        inv_dev = None
+        if am.backend == "ms":
+            # untransposed [S, F, D] weights for the ms kernel
+            mixw_ms = jnp.asarray(np.asarray(am.mixw).astype(np.int32))
+            cb_dev = jnp.asarray(sen2cb.astype(np.int32))
+            # senone-order scores -> grouped-column order (the inverse
+            # of sen_remap; pad columns repeat senone 0, harmless: no
+            # graph column ever references them)
+            inv = np.zeros(n_grp * M, np.int32)
+            inv[remap] = np.arange(n_sen, dtype=np.int32)
+            inv_dev = jnp.asarray(inv)
         return cls(
             means=jnp.asarray(am.means),
             var_t=jnp.asarray(am.var_t),
@@ -121,10 +144,15 @@ class ScorerTables:
             table_thresh=jnp.asarray(thresh),
             sen_remap_dev=jnp.asarray(remap.astype(np.int32)),
             sen_remap=remap,
+            mixw_ms=mixw_ms,
+            sen2cb=cb_dev,
+            sen_inv=inv_dev,
             max_topn=am.max_topn,
             n_sen=n_sen,
             backend=am.backend,
             wrap_u8=am.mixw_wrap_u8,
+            zero8=int(am.lmath_8b.zero),
+            aw=int(getattr(am, "aw", 1)),
         )
 
     @property
@@ -271,6 +299,83 @@ def _sen_eval(tables: ScorerTables, topn_scores, topn_cw):
 _sen_stage = jax.jit(_sen_eval)
 
 
+@jax.jit
+def _dist_stage_ms(tables: ScorerTables, feats):
+    """feats [T, F, L] -> FLOAT distances [T, cb, F, D] (the ms top-N
+    ranks by float, ms_gauden.c compute_dist)."""
+    return _distances_fold(tables, feats)
+
+
+@jax.jit
+def _ms_stage(tables: ScorerTables, di_f):
+    """Float distances [T, C, F, D] -> int16 senone scores [T, S] with
+    exact ms semantics (ms_gauden.c compute_dist top-N incl. its
+    insertion tie rule and WORST_DIST floor; ms_senone.c senone_eval's
+    rounded-up SENSCR_SHIFT, full logmath_add on the 8-bit shifted
+    table, acoustic-weight truncation; ms_mgau.c's int16-clamped
+    best-subtraction).  Bit-exact vs ops/senscore.MsScorerNp /
+    the C oracle (tests/test_senscore.py)."""
+    t = tables
+    T, C, F, D = di_f.shape
+    N = min(t.max_topn, D) if t.max_topn > 0 else D
+    WD = jnp.float32(MAX_NEG_INT32)
+    i64 = jnp.int64
+    if N >= D:
+        # compute_dist_all: densities in INDEX order, unsorted
+        cw = jnp.broadcast_to(jnp.arange(D, dtype=jnp.int32), di_f.shape)
+        dval = di_f
+    else:
+        # top-N by float distance; the C's insertion puts an EQUAL
+        # newcomer above the incumbent (ms_gauden.c:385-433), i.e.
+        # ties break toward the LATER density: pack the
+        # order-preserving integer view of the f32 with the density
+        # index.  (The per-dim early-termination checks are lossless:
+        # the fold is monotonically non-increasing in float, so a
+        # candidate failing a checkpoint fails the final test too.)
+        u = jax.lax.bitcast_convert_type(di_f, jnp.int32).astype(i64)
+        ub = u & i64(0xFFFFFFFF)
+        key = jnp.where(u < 0, (~ub) & i64(0xFFFFFFFF),
+                        ub | i64(0x80000000))
+        key = key * D + jnp.arange(D, dtype=i64)
+        key = jnp.where(di_f < WD, i64(-1), key)  # WORST_DIST floor
+        topk, idx = jax.lax.top_k(key, N)
+        cw = idx.astype(jnp.int32)
+        dval = jnp.take_along_axis(di_f, idx, axis=-1)
+        bad = topk < 0
+        dval = jnp.where(bad, WD, dval)
+        cw = jnp.where(bad, 0, cw)
+    # fden: rounded-up shift of the int-cast distance (senone_eval)
+    di = dval.astype(i64)
+    fden = jnp.where(dval < WD, i64(MAX_NEG_INT32 >> SENSCR_SHIFT),
+                     (di + ((1 << SENSCR_SHIFT) - 1)) >> SENSCR_SHIFT)
+    S = t.sen2cb.shape[0]
+    fden_s = fden[:, t.sen2cb]                      # [T, S, F, N]
+    cw_s = cw[:, t.sen2cb]
+    sidx = jnp.arange(S)[None, :, None, None]
+    fidx = jnp.arange(F)[None, None, :, None]
+    mw = t.mixw_ms[sidx, fidx, cw_s].astype(i64)    # [T, S, F, N]
+    fwscr = fden_s - mw
+    zero = i64(t.zero8)
+    fscr = fwscr[..., 0]
+    for j in range(1, N):
+        x, y = fscr, fwscr[..., j]
+        r = jnp.maximum(x, y)
+        d_ = r - jnp.minimum(x, y)
+        add = jnp.zeros_like(r)
+        for k in range(t.table_thresh.shape[0]):
+            add = add + (d_ < t.table_thresh[k]).astype(r.dtype)
+        res = r + add
+        res = jnp.where(x <= zero, y, res)
+        res = jnp.where(y <= zero, jnp.where(x <= zero, res, x), res)
+        fscr = res
+    scr = -jnp.sum(fscr, axis=2)                    # [T, S]
+    if t.aw != 1:
+        scr = jnp.sign(scr) * (jnp.abs(scr) // t.aw)
+    scr = jnp.clip(scr, -32768, 32767)
+    best = jnp.min(scr, axis=1, keepdims=True)
+    return jnp.clip(scr - best, -32768, 32767).astype(jnp.int16)
+
+
 def _use_pallas() -> bool:
     import os
 
@@ -295,6 +400,12 @@ def score_frames(tables: ScorerTables, feats, dist_mode: str = "fold"):
     (250 vs 81 ms per 20k frames), so it stays opt-in until the top-N
     reduction is restructured.
     """
+    if tables.backend == "ms":
+        # fully-continuous path: float top-N + ms_senone semantics,
+        # permuted from senone order into the grouped-column layout
+        # (identity for the 1:1 mapping)
+        return _ms_stage(tables, _dist_stage_ms(tables, feats)
+                         )[:, tables.sen_inv]
     if dist_mode == "fold" and _use_pallas():
         from .senscore_pallas import dist_topn_fused
 
@@ -357,6 +468,13 @@ class GraphScorer:
     def build(cls, am: AcousticModel, tables: ScorerTables,
               senid_flat: np.ndarray) -> "GraphScorer":
         """senid_flat [S]: reference senone id per graph state."""
+        if am.backend == "ms":
+            # ms senone eval (rounded shifts, full logmath_add, aw)
+            # does not share the ptm/semi grouped pipeline; the aligner
+            # routes ms models through the dense score_frames path
+            raise NotImplementedError(
+                "graph-restricted scoring is ptm/semi only; ms models "
+                "use dense score_frames (aligner mixed path)")
         senid_flat = np.asarray(senid_flat, np.int64).reshape(-1)
         S = len(senid_flat)
         sen2cb = np.asarray(am.sen2cb, np.int64)

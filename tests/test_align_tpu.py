@@ -10,7 +10,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from tests.conftest import GOLDEN, golden
+from tests.conftest import DATADIR, GOLDEN, golden
 
 from soundswallower_tpu.aligner import TpuAligner
 
@@ -166,3 +166,32 @@ def test_align_phone_level_contiguity(aligner):
         plast = s.phones[-1]
         assert plast[1] + plast[2] == s.start + s.duration
     assert pos == T
+
+
+def test_ms_backend_align_end_to_end(ms_en):
+    """TpuAligner on a fully-continuous (ms) model: the aligner routes
+    through dense ms scoring (no graph-restricted scorer) + per-row
+    gather; boundaries must match the en-us PTM model's on the same
+    audio (the synthesized ms model reconstructs the SAME mixture
+    weights from the sendump, so the optimum path is the same)."""
+    from soundswallower_tpu.aligner import TpuAligner
+
+    _, cfg = ms_en
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", np.int16)
+    al = TpuAligner(hmm="/root/reference/model/en-us",
+                    senmgau=cfg["senmgau"], mixw=cfg["mixw"], sendump="")
+    assert al.am.backend == "ms"
+    out = al.align_batch([raw, raw], ["go forward ten meters"] * 2)
+    assert out[0] is not None and out[1] is not None
+    words = [(s.word, s.start, s.duration) for s in out[0]]
+    assert words == [(s.word, s.start, s.duration) for s in out[1]]
+    ref = TpuAligner(hmm="/root/reference/model/en-us")
+    base = ref.align_batch([raw], ["go forward ten meters"])[0]
+    got_w = [(s.word, s.start, s.duration) for s in out[0]]
+    ref_w = [(s.word, s.start, s.duration) for s in base]
+    # same words; boundaries may differ by a frame or two (the ms
+    # quantization path reconstructs weights through a float round trip)
+    assert [w for w, _, _ in got_w] == [w for w, _, _ in ref_w]
+    for (w, s1, d1), (_, s2, d2) in zip(got_w, ref_w):
+        assert abs(s1 - s2) <= 3 and abs((s1 + d1) - (s2 + d2)) <= 3, \
+            (w, (s1, d1), (s2, d2))

@@ -278,3 +278,80 @@ def test_graph_scorer_matches_full_scorer_paths():
     path_full, _ = al._viterbi(g, jnp.asarray(full.astype(np.int16)), T)
     path_r, _ = al._viterbi_graph(g, jnp.asarray(restricted), jnp.int32(T))
     assert (np.asarray(path_full)[:T] == np.asarray(path_r)[:T]).all()
+
+
+def test_ms_senscr_jax_bitexact(ms_en):
+    """The JAX/TPU ms scorer (score_frames' ms path: float top-N with
+    the C's insertion tie rule, ms_senone rounded shifts + full
+    logmath_add, aw truncation, int16-clamped best-subtraction) must
+    reproduce the C oracle compallsen scores bit-for-bit."""
+    import jax.numpy as jnp
+
+    from soundswallower_tpu.ops.senscore_jax import (ScorerTables,
+                                                     score_frames, ungroup)
+
+    am, _ = ms_en
+    assert am.backend == "ms"
+    feat = golden("ms-en", "feat.f32", np.float32, (-1, 3, 13))[:30]
+    gold = golden("ms-en", "senscr.i16", np.int16, (-1, am.n_sen))[:30]
+    tables = ScorerTables.from_am(am)
+    out = ungroup(tables, np.asarray(score_frames(tables,
+                                                  jnp.asarray(feat))))
+    assert np.array_equal(out, gold)
+
+
+def test_ms_1to1_no_senmgau_fallback(tmp_path):
+    """The no-senmgau 1:1 senone<->codebook fallback
+    (ms_senone.c:225-241): a model whose gauden count equals n_sen maps
+    each senone to its own codebook.  Synthesized by expanding the
+    fr-fr codebooks per senone; scores must equal the equivalent
+    senmgau-mapped model exactly (same Gaussians per senone)."""
+    import os
+    import sys
+
+    import jax.numpy as jnp
+
+    from soundswallower_tpu import s3file as s3
+    from soundswallower_tpu.am import AcousticModel
+    from soundswallower_tpu.config import Config
+    from soundswallower_tpu.ops.senscore_jax import (ScorerTables,
+                                                     score_frames, ungroup)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_ms_model import make_ms_model
+
+    model = "/root/reference/model/fr-fr"
+    mixw_path, senmgau_path = make_ms_model(model, str(tmp_path))
+
+    # A: senmgau-mapped ms model (36 shared codebooks)
+    cfg_a = Config(hmm=model, mixw=mixw_path, senmgau=senmgau_path,
+                   sendump="")
+    cfg_a.expand()
+    am_a = AcousticModel.load(cfg_a)
+    assert am_a.backend == "ms"
+
+    # B: the same Gaussians EXPANDED one codebook per senone, no senmgau
+    means, _, n_feat, n_density, veclen = s3.read_gauden_params(
+        os.path.join(model, "means"))
+    variances, *_ = s3.read_gauden_params(os.path.join(model, "variances"))
+    sen2cb = np.asarray(am_a.sen2cb)
+    s3.write_gauden_params(str(tmp_path / "means"), means[sen2cb],
+                           [13, 13, 13])
+    s3.write_gauden_params(str(tmp_path / "variances"), variances[sen2cb],
+                           [13, 13, 13])
+    cfg_b = Config(hmm=model, mixw=mixw_path, sendump="",
+                   mean=str(tmp_path / "means"),
+                   var=str(tmp_path / "variances"))
+    cfg_b.expand()
+    am_b = AcousticModel.load(cfg_b)
+    assert am_b.backend == "ms"
+    assert np.array_equal(np.asarray(am_b.sen2cb),
+                          np.arange(am_b.n_sen))
+
+    feat = golden("goforward-fr", "feat.f32", np.float32, (-1, 3, 13))[:5]
+    ta = ScorerTables.from_am(am_a)
+    tb = ScorerTables.from_am(am_b)
+    sa = ungroup(ta, np.asarray(score_frames(ta, jnp.asarray(feat))))
+    sb = ungroup(tb, np.asarray(score_frames(tb, jnp.asarray(feat))))
+    assert np.array_equal(sa, sb)
