@@ -54,6 +54,11 @@ class WordSeg:
     score: int = 0
     phones: list | None = None  # list of (ciphone, start, duration, score)
     wid: int = -1               # dict word id (grammar decode)
+    # per-phone HMM-state segments (want_states mode): parallel to
+    # ``phones``, each a list of (senone_id, start, duration, score) —
+    # the innermost nesting level of the reference result JSON
+    # (format_seg_align, decoder.c:1400-1500)
+    states: list | None = None
 
 
 def result_json_from_segs(segs, lmath, n_frames: int, frate: int,
@@ -83,12 +88,23 @@ def result_json_from_segs(segs, lmath, n_frames: int, frate: int,
         if align_level and s.phones:
             out.append(',"w":[')
             pfirst = True
-            for (ci, ps, pd, psc) in s.phones:
+            for pi_, (ci, ps, pd, psc) in enumerate(s.phones):
                 if not pfirst:
                     out.append(",")
                 pfirst = False
                 out.append(fmt(start + ps / frate, pd / frate,
                                lmath.exp(int(psc)), ci))
+                if align_level >= 2 and s.states:
+                    out.append(',"w":[')
+                    sfirst = True
+                    for (senid, ss, sd, ssc) in s.states[pi_]:
+                        if not sfirst:
+                            out.append(",")
+                        sfirst = False
+                        out.append(fmt(start + ss / frate, sd / frate,
+                                       lmath.exp(int(ssc)), str(senid)))
+                        out.append("}")
+                    out.append("]")
                 out.append("}")
             out.append("]")
         out.append("}")
@@ -380,9 +396,9 @@ class TpuAligner:
         # interior shift of the reference convention, so only the LAST
         # run can be empty (when the last change lands at T-2).
         n_runs = len(ch) + 1
-        nodes = np.empty(n_runs, np.int64)
-        nodes[:-1] = p[ch] // E
-        nodes[-1] = int(p[T - 1]) // E
+        states = np.empty(n_runs, np.int64)
+        states[:-1] = p[ch]
+        states[-1] = int(p[T - 1])
         starts = np.empty(n_runs, np.int64)
         starts[0] = 0
         starts[1:] = ch + 2                      # +1: reference convention
@@ -390,7 +406,8 @@ class TpuAligner:
         ends[:-1] = ch + 2
         ends[-1] = T
         if n_runs > 1 and ends[-1] == starts[-1]:
-            nodes, starts, ends = nodes[:-1], starts[:-1], ends[:-1]
+            states, starts, ends = states[:-1], starts[:-1], ends[:-1]
+        nodes = states // E
         # merge consecutive same-node runs into phone segments
         pb = np.nonzero(np.concatenate(([True], nodes[1:] != nodes[:-1])))[0]
         p_node = nodes[pb].tolist()
@@ -406,26 +423,55 @@ class TpuAligner:
             p_sc = [0] * len(pb)
         p_dur = (p_end - p_start).tolist()
         p_start = p_start.tolist()
+        # per-run HMM-state segments (the innermost JSON nesting) —
+        # run boundaries ARE state boundaries, so this is just a
+        # senone lookup + per-run score diff
+        st_per_phone = None
+        if getattr(self, "want_states", False):
+            emits = states % E
+            senids = np.asarray(g.senid)[nodes, emits].tolist()
+            if pscore is not None:
+                ps = np.asarray(pscore)
+                r_hi = ps[ends - 1].astype(np.int64)
+                r_lo = np.where(starts > 0, ps[np.maximum(starts, 1) - 1],
+                                0).astype(np.int64)
+                r_sc = (r_hi - r_lo).tolist()
+            else:
+                r_sc = [0] * len(nodes)
+            pb2 = pb.tolist() + [len(nodes)]
+            r_starts = starts.tolist()
+            r_durs = (ends - starts).tolist()
+            st_per_phone = [
+                [(senids[j], r_starts[j], r_durs[j], r_sc[j])
+                 for j in range(pb2[i], pb2[i + 1])]
+                for i in range(len(pb))
+            ]
         # group phone nodes into words
         cur_word = None
         cur = None
         out: list[WordSeg] = []
-        for node, start, dur, sc in zip(p_node, p_start, p_dur, p_sc):
+        for i, (node, start, dur, sc) in enumerate(
+                zip(p_node, p_start, p_dur, p_sc)):
             w = int(g.word_of[node])
             ci = self.am.mdef.ciphone_str(int(g.cipid[node]))
+            sts = None if st_per_phone is None else [st_per_phone[i]]
             if w < 0:
                 out.append(WordSeg("<sil>", start, dur, score=sc,
-                                   phones=[(ci, start, dur, sc)]))
+                                   phones=[(ci, start, dur, sc)],
+                                   states=sts))
                 cur_word = None
                 continue
             if cur_word != w:
                 cur = WordSeg(self.dict.wordstr(int(g.variant_of[node])),
-                              start, 0, phones=[])
+                              start, 0, phones=[],
+                              states=None if st_per_phone is None else [])
                 out.append(cur)
                 cur_word = w
             cur.duration += dur
             cur.score += sc
             cur.phones.append((ci, start, dur, sc))
+            if st_per_phone is not None:
+                cur.states.append(st_per_phone[i])
         return out
 
     # -- batch -------------------------------------------------------------

@@ -119,9 +119,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     else:
         return  # Nothing to do!
     # reference behavior: align_level = bool(phone_align) (cli.py:166);
-    # --state-align is our extension for level 2
+    # --state-align is our extension for level 2 (fast path emits the
+    # state level directly from its Viterbi path; --exact for the
+    # byte-identical two-pass JSON)
     align_level = 2 if args.state_align else (1 if args.phone_align else 0)
-    if args.exact or args.state_align:
+    if args.exact:
         results = _run_exact(config, args, align_level)
     else:
         results = _run_fast(config, args, align_level)
@@ -167,6 +169,8 @@ def _run_fast(config: Config, args, align_level: int) -> list:
         if rate is not None:
             config["samprate"] = rate
         al = TpuAligner(config)
+        if align_level >= 2:
+            al.want_states = True
         frate = al.config.get_int("frate")
         audios = [loaded[i][0] for i in idxs]
         if args.align_text is not None:
@@ -191,7 +195,10 @@ def _run_fast(config: Config, args, align_level: int) -> list:
                     raise RuntimeError("Decode failed")
                 outs.append(res)
         for i, (hyp, segs) in zip(idxs, outs):
-            n_frames = segs[-1].start + segs[-1].duration if segs else 0
+            # top-level duration counts output_frame + 1 like the
+            # reference (decoder_result_json via decoder_n_frames):
+            # one more than the feature frame count
+            n_frames = segs[-1].start + segs[-1].duration + 1 if segs else 0
             results[i] = result_json_from_segs(
                 segs, al.lmath, n_frames, frate, hyp=hyp,
                 align_level=align_level)

@@ -120,3 +120,33 @@ def test_cli_write_config(tmp_path):
     cli.main(["--write-config", jpath])
     with open(jpath) as infh:
         assert json.load(infh)
+
+
+def test_state_align_fast_path_matches_exact():
+    """--state-align WITHOUT --exact (VERDICT r4 item 6): the fast
+    path emits 3-level word/phone/STATE JSON straight from its Viterbi
+    path.  Against the byte-parity golden of the exact two-pass
+    decoder (tests/golden/goforward-en/result.json), every boundary,
+    duration, label, and senone id must be identical; only the "p"
+    confidence fields differ (the exact pass-2 normalizes over its
+    beam-dependent active set, the fast path over the full dense
+    scores — reproducing the former IS the --exact path)."""
+    import contextlib
+    import io
+    import json
+
+    from soundswallower_tpu.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["--align-text", "go forward ten meters", "--state-align",
+              "--model", "/root/reference/model/en-us",
+              f"{DATADIR}/goforward.wav"])
+    fast = json.loads(buf.getvalue())
+    gold = json.loads(open(os.path.join(os.path.dirname(__file__), "golden", "goforward-en", "result.json")).read())
+
+    def strip_p(d):
+        return {k: ([strip_p(x) for x in v] if k == "w" else v)
+                for k, v in d.items() if k != "p"}
+
+    assert strip_p(fast) == strip_p(gold)
