@@ -1087,6 +1087,75 @@ class TpuAligner:
             last_pos = pos
         return segs
 
+    # -- lattice / nbest (TPU scoring + host history search) ----------------
+
+    def _dense_scores_utt(self, audio: np.ndarray,
+                          dist_mode: str = "fold") -> np.ndarray:
+        """Dense compallsen senone scores [T, n_sen] int16 for one
+        utterance, computed on device, in reference senone order (the
+        acmod_score contract the host search consumes)."""
+        from .ops.senscore_jax import ungroup
+
+        audio = np.asarray(audio)
+        T = self.fe.n_frames(len(audio))
+        Tpad = max(64, -(-T // 64) * 64)
+        if self.native_fe is not None:
+            cep = self.native_fe.process_batch(
+                audio[None], np.array([len(audio)]), Tpad)[0]
+            cep_d = jnp.asarray(cep)
+        else:
+            cep_d = self.fe.mfcc(jnp.asarray(audio.astype(np.float32)),
+                                 len(audio), Tpad)
+        feats = feats_full_utt(cep_d, jnp.int32(T), self.config["cmn"])
+        dense = score_frames(self.tables, feats, dist_mode)
+        return ungroup(self.tables, np.asarray(dense))[:T]
+
+    def decode_search(self, audio: np.ndarray, dist_mode: str = "fold"):
+        """Grammar decode with the full HISTORY TABLE: device dense
+        scoring (bit-exact compallsen, ops/senscore_jax) feeding the
+        reference beam search + history dedup on host
+        (search_fsg.FsgSearch) — the GPU-score/CPU-search split that
+        yields lattices and n-best without the slow exact scorer.
+        Returns the finished FsgSearch (hyp()/seg_iter() available;
+        feed to Lattice.from_fsg_search)."""
+        from .search_fsg import FsgSearch
+
+        fsg = getattr(self, "_decode_fsg", None)
+        if fsg is None:
+            raise RuntimeError("call set_grammar() first")
+        sen = self._dense_scores_utt(audio, dist_mode)
+        search = FsgSearch(fsg, self.config, self.am, self.dict,
+                           self.d2p, self.lmath)
+        search.start()
+        for t in range(len(sen)):
+            search.step(sen[t], t)
+        search.finish()
+        return search
+
+    def lattice(self, audio: np.ndarray, dist_mode: str = "fold"):
+        """Word DAG for one utterance against the set_grammar() grammar
+        (decoder_lattice / fsg_search_lattice, fsg_search.c:1344-1524),
+        built from the TPU-scored history search."""
+        from .lattice import Lattice
+
+        return Lattice.from_fsg_search(
+            self.decode_search(audio, dist_mode), self.config)
+
+    def nbest(self, audio: np.ndarray, sf: int = 0, ef: int = -1,
+              dist_mode: str = "fold"):
+        """A* N-best iterator yielding (hyp, score) best-first
+        (decoder_nbest semantics) at TPU scoring speed."""
+        from .lattice import AstarSearch
+
+        dag = self.lattice(audio, dist_mode)
+        dag.bestpath(self.config.get_float("ascale"))
+        astar = AstarSearch(dag, sf, ef)
+        while True:
+            p = astar.next()
+            if p is None:
+                return
+            yield astar.hyp(p), p.score
+
     def stream(self, text: str):
         """Streaming alignment with explicit checkpointable state
         (see streaming.AlignStream): push int16 chunks, end() -> segs."""

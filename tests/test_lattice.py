@@ -161,3 +161,28 @@ def test_segs_match_reference(fsg_run):
             s["sf"], s["ef"], s["ascr"], s["lscr"])
            for s in search.seg_iter()]
     assert got == want
+
+
+def test_nbest_from_tpu_fast_path():
+    """nbest/lattice WITHOUT the slow exact decoder (VERDICT r4 item
+    7): device dense scoring (bit-exact compallsen) + the host
+    history-table beam search.  The golden lattice/nbest were dumped
+    by the C in compallsen mode on the same audio, so every hyp and
+    score matches exactly."""
+    from soundswallower_tpu.aligner import TpuAligner
+
+    al = TpuAligner(hmm="/root/reference/model/en-us")
+    al.set_grammar(jsgf_file=f"{DATADIR}/goforward.gram")
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", np.int16)
+    want = [(int(s), h) for s, h in
+            (line.split("\t") for line in
+             open(f"{GOLDEN}/{NAME}/nbest.txt").read().splitlines())]
+    got = []
+    for hyp, score in al.nbest(raw):
+        got.append((score, hyp))
+        if len(got) >= len(want):
+            break
+    assert got == want
+    # the history search's own hyp agrees with the dense decode
+    search = al.decode_search(raw)
+    assert search.hyp()[0] == "go forward ten meters"
