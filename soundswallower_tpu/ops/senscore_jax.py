@@ -196,20 +196,33 @@ def _int_dist(d):
 
 def _topn_argmax(di, n):
     """Top-n scores+indices over the last axis (first-max-wins
-    tie-breaking, same as a stable descending sort).  lax.top_k's TPU
-    lowering breaks ties by lowest index, matching the C argmax loops;
-    it measures ~2x faster than n iterative argmax rounds here.
+    tie-breaking, same as lax.top_k's lowest-index tie rule and the C
+    argmax loops).
 
-    Shape warning (measured on the axon-tunnel TPU v5e): top_k's TPU
-    lowering is pathologically sensitive to the leading-dim
-    factorization — [T,16,3,128] runs ~6x slower than [T,15,3,128] or
-    [T,17,3,128] in isolation, while flattening to [T*Cu*F,128] is
-    uniformly mid-speed in isolation but ~20% slower END TO END at the
-    shapes the en-us alignment path produces.  Keep the plain 4D form;
-    if a model/graph combination hits a slow shape class, prefer
-    changing the codebook-bucket padding over reshaping here."""
-    sc, cw = jax.lax.top_k(di, n)
-    return sc, cw.astype(jnp.int32)
+    Implemented as n iterative masked argmax rounds, NOT lax.top_k:
+    top_k's TPU lowering is a full sort that measured 127 ms on a
+    [98k, 17, 3, 128] int32 operand where the four argmax rounds cost
+    ~30 ms (r4 had recorded the opposite — that measurement predated
+    learning that block_until_ready does not wait for execution on
+    this runtime, so it timed dispatch, not compute).  top_k's
+    lowering is also pathologically shape-sensitive (2-3x swings by
+    leading-dim factorization); the argmax rounds are not."""
+    D = di.shape[-1]
+    lane = jnp.arange(D, dtype=jnp.int32)
+    taken = jnp.zeros(di.shape, bool)
+    scs, cws = [], []
+    for _ in range(n):
+        cand = jnp.where(taken, jnp.int32(MAX_NEG_INT32), di)
+        m = jnp.max(cand, axis=-1, keepdims=True)
+        # lowest untaken lane at the max — distinct indices even when
+        # values tie at the MAX_NEG_INT32 clamp (like top_k's ranking)
+        sel = (cand == m) & ~taken
+        idx = jnp.min(jnp.where(sel, lane, jnp.int32(D)),
+                      axis=-1, keepdims=True)
+        scs.append(m)
+        cws.append(idx)
+        taken = taken | (lane == idx)
+    return jnp.concatenate(scs, -1), jnp.concatenate(cws, -1)
 
 
 def _fast_logadd(x, y, thresh):
@@ -376,14 +389,6 @@ def _ms_stage(tables: ScorerTables, di_f):
     return jnp.clip(scr - best, -32768, 32767).astype(jnp.int16)
 
 
-def _use_pallas() -> bool:
-    import os
-
-    if os.environ.get("SST_PALLAS", "0") != "1":
-        return False
-    return jax.default_backend() != "cpu"
-
-
 def score_frames(tables: ScorerTables, feats, dist_mode: str = "fold"):
     """feats [T, F, L] float32 -> grouped senone scores int16 [T, G].
 
@@ -393,12 +398,15 @@ def score_frames(tables: ScorerTables, feats, dist_mode: str = "fold"):
     than materializing the distances (1.25 s -> 0.11 s per 12k frames).
     Dispatches are async, so staging costs only host-side microseconds.
 
-    SST_PALLAS=1 swaps distance+top-N for the fused Pallas kernel
-    (senscore_pallas.dist_topn_fused): bit-identical, and the distance
-    tensor never touches HBM, but as measured on the current tunnel TPU
-    its VPU-reduction inner loop is ~3x slower than the staged path
-    (250 vs 81 ms per 20k frames), so it stays opt-in until the top-N
-    reduction is restructured.
+    A fused distance+top-N Pallas kernel was evaluated through r5 and
+    removed: after the top-N stage switched from lax.top_k's sort
+    lowering to the masked-argmax rounds (see _topn_argmax), the staged
+    path's remaining cost is the distance fold itself, and Mosaic's
+    block constraints force the kernel to either pad its (F*N=12)-lane
+    output tiles ~10x or re-mask a cross-codebook accumulator — both
+    burn more HBM traffic than fusing the distance tensor saves.
+    Measured 296 ms (kernel) vs 70 ms (staged) per 24k frames; see
+    README \"Performance notes\".
     """
     if tables.backend == "ms":
         # fully-continuous path: float top-N + ms_senone semantics,
@@ -406,15 +414,8 @@ def score_frames(tables: ScorerTables, feats, dist_mode: str = "fold"):
         # (identity for the 1:1 mapping)
         return _ms_stage(tables, _dist_stage_ms(tables, feats)
                          )[:, tables.sen_inv]
-    if dist_mode == "fold" and _use_pallas():
-        from .senscore_pallas import dist_topn_fused
-
-        t = tables
-        topn_scores, topn_cw = dist_topn_fused(
-            feats, t.means, t.var_t, t.det, t.max_topn)
-    else:
-        di = _dist_stage(tables, feats, dist_mode)
-        topn_scores, topn_cw = _topn_stage(tables, di)
+    di = _dist_stage(tables, feats, dist_mode)
+    topn_scores, topn_cw = _topn_stage(tables, di)
     return _sen_stage(tables, topn_scores, topn_cw)
 
 
