@@ -124,3 +124,42 @@ def test_batcher_coalesces(server):
         al.align_batch_begin = orig
     assert all(r[0] == 200 for r in results)
     assert max(calls) >= 2, f"no batching happened: {calls}"
+
+
+def test_responses_match_published_schema(server):
+    """The js/ client package's typed contract (js/index.d.ts): field
+    sets and types of every endpoint response must match what the .d.ts
+    declares — this test IS the schema check standing in for a node
+    typecheck (no node runtime in this image)."""
+    srv, _ = server
+    port = srv.server_address[1]
+
+    _, h = _get(port, "/v1/health")
+    assert set(h) == {"status", "model", "n_sen", "backend"}
+    assert h["status"] == "ok"
+    assert isinstance(h["n_sen"], int) and isinstance(h["backend"], str)
+
+    _, cfg = _get(port, "/v1/config")
+    assert isinstance(cfg, dict) and "samprate" in cfg
+
+    raw = np.fromfile("/root/reference/tests/data/goforward.raw", np.int16)
+    _, out = _post(port, {
+        "text": "go forward ten meters",
+        # exactly the bytes js/client.js puts on the wire: little-endian
+        # int16 PCM, base64
+        "audio": base64.b64encode(raw.astype("<i2").tobytes()).decode(),
+    })
+
+    def check_seg(seg, depth=0):
+        assert {"b", "d", "t"} <= set(seg)
+        assert set(seg) <= {"b", "d", "p", "t", "w"}  # p optional (.d.ts)
+        for k in ("b", "d"):
+            assert isinstance(seg[k], (int, float))
+        assert isinstance(seg["t"], str)
+        for child in seg.get("w", []):
+            check_seg(child, depth + 1)
+
+    check_seg(out)
+    assert out["t"] == "go forward ten meters"
+    words = [w["t"] for w in out["w"] if not w["t"].startswith("<")]
+    assert words == ["go", "forward", "ten", "meters"]
