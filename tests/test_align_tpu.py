@@ -195,3 +195,59 @@ def test_ms_backend_align_end_to_end(ms_en):
     for (w, s1, d1), (_, s2, d2) in zip(got_w, ref_w):
         assert abs(s1 - s2) <= 3 and abs((s1 + d1) - (s2 + d2)) <= 3, \
             (w, (s1, d1), (s2, d2))
+
+
+def test_graph_cache_rebuild_and_mllr_invalidation(tmp_path):
+    """VERDICT r4 item 9: graph device caches are keyed by a monotonic
+    serial (never id(), which can alias after GC), and update_mllr
+    invalidates every cache that baked the old Gaussians — alignment
+    results must change under the transform and stay self-consistent
+    across graph drop/rebuild cycles."""
+    import gc
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_mllr import make_mllr
+
+    from soundswallower_tpu.aligner import TpuAligner
+
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", np.int16)
+    text = "go forward ten meters"
+    al = TpuAligner(hmm="/root/reference/model/en-us")
+
+    base = [(s.word, s.start, s.duration)
+            for s in al.align_batch([raw], [text])[0]]
+
+    # drop and rebuild graphs repeatedly: serial keys mean a new graph
+    # NEVER reuses a dead graph's device constants even if id() aliases
+    serials = set()
+    for _ in range(3):
+        g = al.graph_for_text(text)
+        serials.add(g.serial)
+        again = [(s.word, s.start, s.duration)
+                 for s in al.align_batch([raw], [text])[0]]
+        assert again == base
+        al._graph_cache.clear()
+        gc.collect()
+    assert len(serials) == 3          # rebuilt graphs got fresh serials
+
+    # MLLR must invalidate the graph-restricted scorers: the same
+    # cached-text alignment must now reflect the transformed Gaussians
+    mllr_path = str(tmp_path / "mllr_test")
+    make_mllr(mllr_path)
+    al.graph_for_text(text)           # populate caches pre-transform
+    scored_before = al.align_batch_scored([raw], [text])[0]
+    al.update_mllr(mllr_path)
+    after = al.align_batch([raw], [text])[0]
+    scored_after = al.align_batch_scored([raw], [text])[0]
+    assert after is not None
+    # scores MUST differ under the transform (stale caches would
+    # reproduce the old ones bit-for-bit)
+    assert [s.score for s in scored_after] != [s.score for s in scored_before]
+    # and a fresh aligner built with the transform agrees exactly
+    fresh = TpuAligner(hmm="/root/reference/model/en-us", mllr=mllr_path)
+    ref = fresh.align_batch([raw], [text])[0]
+    assert [(s.word, s.start, s.duration) for s in after] == \
+           [(s.word, s.start, s.duration) for s in ref]
