@@ -614,6 +614,12 @@ class TpuAligner:
         paths = self._fetch_rows(paths_d)
         pscores = None if pscore_d is None else self._fetch_rows(pscore_d)
         final_sc = self._fetch_rows(final_d)
+        if realB == 0:
+            return []
+        if pscores is None and not getattr(self, "want_states", False):
+            out = self._extract_batch_native(g, paths, Ts, realB)
+            if out is not None:
+                return out
         # One whole-batch change-point pass (paths[:,1:] != paths[:,:-1])
         # instead of a per-row nonzero: at B=512 the per-row numpy-call
         # overhead was ~half of a 50 ms extract stage.
@@ -628,6 +634,122 @@ class TpuAligner:
                                ch=cols[split[i]:split[i + 1]])
             for i in range(realB)
         ]
+
+    def _extract_batch_native(self, g, paths, Ts, realB):
+        """Whole-batch segment extraction via native/sst_seg.cpp (the
+        throughput path: no per-segment scores, no state level).
+        Returns None when the library is unavailable, falling back to
+        the Python extraction.  Semantics identical to _extract —
+        tests/test_align_tpu.py compares the two."""
+        import ctypes as ct
+
+        if not hasattr(self, "_segl"):
+            from .utils.native_build import load_native
+            lib = load_native("libsst_seg.so")
+            if lib is not None:
+                i32p = np.ctypeslib.ndpointer(np.int32)
+                i64p = np.ctypeslib.ndpointer(np.int64)
+                lib.sst_extract_batch.restype = ct.c_int
+                lib.sst_extract_batch.argtypes = [
+                    np.ctypeslib.ndpointer(np.int16), ct.c_int, ct.c_int,
+                    i64p, ct.c_int, i32p, i32p, i32p, i64p,
+                    i32p, i32p, i32p, i32p, i32p, i32p,
+                    i32p, i32p, i32p, ct.c_int64, ct.c_int64,
+                ]
+            self._segl = lib
+        lib = self._segl
+        if lib is None:
+            return None
+        graphs = g if isinstance(g, list) else [g] * realB
+        # concatenated per-row node tables, cached per graph tuple
+        if not hasattr(self, "_seg_tab_cache"):
+            self._seg_tab_cache = {}
+        key = tuple(gr.serial for gr in graphs)
+        tab = self._seg_tab_cache.get(key)
+        if tab is None:
+            offs = np.zeros(realB + 1, np.int64)
+            per: dict[int, int] = {}
+            uniq = []
+            for gr in graphs:
+                if gr.serial not in per:
+                    per[gr.serial] = len(uniq)
+                    uniq.append(gr)
+            starts = np.zeros(len(uniq), np.int64)
+            pos = 0
+            for i, gr in enumerate(uniq):
+                starts[i] = pos
+                pos += len(gr.word_of)
+            wo = np.concatenate([gr.word_of for gr in uniq]).astype(np.int32)
+            vo = np.concatenate(
+                [gr.variant_of for gr in uniq]).astype(np.int32)
+            cp = np.concatenate([gr.cipid for gr in uniq]).astype(np.int32)
+            for b, gr in enumerate(graphs):
+                offs[b] = starts[per[gr.serial]]
+            tab = (wo, vo, cp, offs)
+            if len(self._seg_tab_cache) >= 64:
+                self._seg_tab_cache.pop(next(iter(self._seg_tab_cache)))
+            self._seg_tab_cache[key] = tab
+        wo, vo, cp, offs = tab
+        paths = np.ascontiguousarray(paths[:realB], np.int16)
+        Ts64 = np.ascontiguousarray(Ts[:realB], np.int64)
+        E = graphs[0].senid.shape[1]
+        cap_p = int(Ts64.sum()) + realB
+        cap_w = cap_p
+        nw = np.empty(realB, np.int32)
+        w_kind = np.empty(cap_w, np.int32)
+        w_var = np.empty(cap_w, np.int32)
+        w_start = np.empty(cap_w, np.int32)
+        w_dur = np.empty(cap_w, np.int32)
+        w_np = np.empty(cap_w, np.int32)
+        p_ci = np.empty(cap_p, np.int32)
+        p_start = np.empty(cap_p, np.int32)
+        p_dur = np.empty(cap_p, np.int32)
+        rc = lib.sst_extract_batch(
+            paths, realB, paths.shape[1], Ts64, E, wo, vo, cp, offs,
+            nw, w_kind, w_var, w_start, w_dur, w_np,
+            p_ci, p_start, p_dur, cap_w, cap_p)
+        if rc != 0:
+            return None
+        ci_strs = self._ci_strs()
+        wstr = self._wordstr_cache()
+        out: list = []
+        wi = pi = 0
+        for b in range(realB):
+            n = int(nw[b])
+            if n < 0:
+                out.append(None)
+                continue
+            segs = []
+            for _ in range(n):
+                np_ = int(w_np[wi])
+                phones = [(ci_strs[p_ci[pi + j]], int(p_start[pi + j]),
+                           int(p_dur[pi + j]), 0) for j in range(np_)]
+                word = "<sil>" if w_kind[wi] else wstr(int(w_var[wi]))
+                segs.append(WordSeg(word, int(w_start[wi]), int(w_dur[wi]),
+                                    phones=phones))
+                wi += 1
+                pi += np_
+            out.append(segs)
+        return out
+
+    def _ci_strs(self):
+        if not hasattr(self, "_ci_str_list"):
+            m = self.am.mdef
+            self._ci_str_list = [m.ciphone_str(i)
+                                 for i in range(m.n_ciphone)]
+        return self._ci_str_list
+
+    def _wordstr_cache(self):
+        if not hasattr(self, "_wstr_map"):
+            self._wstr_map = {}
+
+        def wstr(wid: int) -> str:
+            s = self._wstr_map.get(wid)
+            if s is None:
+                s = self._wstr_map[wid] = self.dict.wordstr(wid)
+            return s
+
+        return wstr
 
     def _batch_begin(self, g: AlignGraph, audios, dist_mode: str):
         """Shared chunk-pipelined batch path: per chunk, host FE (or

@@ -251,3 +251,33 @@ def test_graph_cache_rebuild_and_mllr_invalidation(tmp_path):
     ref = fresh.align_batch([raw], [text])[0]
     assert [(s.word, s.start, s.duration) for s in after] == \
            [(s.word, s.start, s.duration) for s in ref]
+
+
+def test_native_extraction_matches_python(aligner):
+    """native/sst_seg.cpp batch extraction == the Python _extract on
+    same-transcript AND mixed batches (words, starts, durations,
+    phones, silence grouping, per-row failure isolation)."""
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", np.int16)
+    texts = ["go forward ten meters", "go forward", "ten meters go",
+             "forward forward"]
+    audios = [raw, raw[:30000], raw, raw[:20000]]
+    h = aligner.align_batch_begin(audios, texts)
+    g, Ts, paths_d, pscore_d, final_d, realB = h
+    paths = np.asarray(paths_d)
+    final_sc = np.asarray(final_d)
+    native = aligner._extract_batch_native(g, paths, Ts, realB)
+    assert native is not None, "libsst_seg.so missing"
+    python = [
+        aligner._extract_safe(g[i] if isinstance(g, list) else g,
+                              paths[i], int(Ts[i]), int(final_sc[i]))
+        for i in range(realB)
+    ]
+    assert len(native) == len(python)
+    for a, b in zip(native, python):
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        assert [(s.word, s.start, s.duration, tuple(p[:3] for p in s.phones))
+                for s in a] == \
+               [(s.word, s.start, s.duration, tuple(p[:3] for p in s.phones))
+                for s in b]
