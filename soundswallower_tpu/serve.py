@@ -178,6 +178,7 @@ class AlignService:
             if item is None:
                 return
             handle, batch = item
+            t0 = time.monotonic()
             try:
                 self._resolve(self.aligner.align_batch_end(handle), batch)
             except Exception as e:
@@ -186,6 +187,15 @@ class AlignService:
                     if not fut.done():
                         fut.set_exception(e)
             finally:
+                dt = time.monotonic() - t0
+                if dt > 1.0:
+                    # diagnosis aid for latency tails: a fresh-compile
+                    # class would repeat for a given geometry; the
+                    # known tunnel stalls are one-off
+                    LOG.warning(
+                        "slow batch: %.2fs end() for %d reqs, "
+                        "max_samples=%d", dt, len(batch),
+                        max(len(b[0]) for b in batch))
                 self._inflight.release()
 
     def _resolve(self, results, batch):
