@@ -8,14 +8,17 @@ sample-level perturbation so no transport/result cache can
 short-circuit the pipeline:
 
 1. ``value`` (headline, comparable across rounds): same-transcript
-   batch of B=512 — host C++ MFCC -> upload -> dynamic features ->
+   batch of B=1024 — host C++ MFCC -> upload -> dynamic features ->
    graph-restricted senone scoring -> phone-graph Viterbi + backtrace
-   -> host segment extraction, pipelined via align_batch_begin/end.
-2. ``mixed``: B=64 utterances with 64 DISTINCT transcripts (4-word
+   -> native segment extraction, pipelined via align_batch_begin/end.
+2. ``mixed``: B=256 utterances with 256 DISTINCT transcripts (5-word
    shuffles of real goforward word audio) through the multi-graph
-   single-dispatch path — the ReadAlongs-shaped serving workload
-   (one transcript per document, js/api.js:491).
-3. ``serve_p50_ms``/``serve_p99_ms``: per-request latency through
+   single-dispatch path (working-set union scoring + banded per-row
+   Viterbi) — the ReadAlongs-shaped serving workload (one transcript
+   per document, js/api.js:491).  Includes a per-stage breakdown.
+3. ``longform``: 8 utterances of ~67 s (graph size and token stacks
+   scale with audio length).
+4. ``serve_p50_ms``/``serve_p99_ms``: per-request latency through
    AlignService (the dynamic batcher) under concurrent mixed load.
 
 vs_baseline: ratio against the BASELINE.json north-star target of 1000x
@@ -163,9 +166,14 @@ def bench_stages(al, raw, batch, dist_mode, rng):
     d_d2h, fetched = t(lambda: (np.array(vout[0]), np.array(vout[2])),
                        lambda o: None)
     paths, fins = fetched
-    d_ex, _ = t(lambda: [al._extract_safe(graphs[i], paths[i], int(Ts[i]),
-                                          int(fins[i]))
-                         for i in range(len(audios))], lambda o: None)
+    def extract():
+        out = al._extract_batch_native(graphs, paths, Ts, len(audios))
+        if out is None:  # library unavailable: python fallback
+            out = [al._extract_safe(graphs[i], paths[i], int(Ts[i]),
+                                    int(fins[i]))
+                   for i in range(len(audios))]
+        return out
+    d_ex, _ = t(extract, lambda o: None)
     ms = {k: round(v * 1000, 2) for k, v in
           [("host_fe", d_fe), ("h2d", d_h2d), ("feats", d_feat),
            ("score", d_score), ("gather", d_gather),
@@ -244,9 +252,9 @@ def bench_serve(al, raw, n_req=128, conc=32):
 def main():
     from soundswallower_tpu.aligner import TpuAligner
 
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
     mixed_batch = int(os.environ.get("BENCH_MIXED_BATCH", "256"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "6"))
     dist_mode = os.environ.get("BENCH_DIST", "fold")
     os.environ.setdefault("SST_BATCH_CHUNK", "128")
 
