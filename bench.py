@@ -256,7 +256,6 @@ def main():
     mixed_batch = int(os.environ.get("BENCH_MIXED_BATCH", "256"))
     reps = int(os.environ.get("BENCH_REPS", "6"))
     dist_mode = os.environ.get("BENCH_DIST", "fold")
-    os.environ.setdefault("SST_BATCH_CHUNK", "128")
 
     raw = np.fromfile("/root/reference/tests/data/goforward.raw",
                       dtype=np.int16)
