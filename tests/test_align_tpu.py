@@ -281,3 +281,25 @@ def test_native_extraction_matches_python(aligner):
                 for s in a] == \
                [(s.word, s.start, s.duration, tuple(p[:3] for p in s.phones))
                 for s in b]
+
+
+def test_fr_batch_alignment(aligner_fr=None):
+    """BASELINE config 3: fr-fr batch forced alignment — batched rows
+    must equal the single-utterance path exactly (different senone
+    inventory/codebook count exercises the scorer's other shape
+    class)."""
+    from soundswallower_tpu.aligner import TpuAligner
+
+    al = TpuAligner(hmm="/root/reference/model/fr-fr",
+                    dict="/root/reference/model/fr-fr/dict.txt")
+    raw = np.fromfile(f"{DATADIR}/goforward_fr.raw", np.int16)
+    text = "avance de dix mètres"
+    single = al.align(raw, text)
+    out = al.align_batch([raw] * 8, [text] * 8)
+    assert all(o is not None for o in out)
+    want = [(s.word, s.start, s.duration) for s in single]
+    for segs in out:
+        assert [(s.word, s.start, s.duration) for s in segs] == want
+    # mixed fr batch
+    mout = al.align_batch([raw, raw], [text, "avance de dix mètres"])
+    assert all(o is not None for o in mout)
