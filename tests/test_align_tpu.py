@@ -303,3 +303,27 @@ def test_fr_batch_alignment(aligner_fr=None):
     # mixed fr batch
     mout = al.align_batch([raw, raw], [text, "avance de dix mètres"])
     assert all(o is not None for o in mout)
+
+
+def test_mixed_dense_fallback_matches_union(aligner):
+    """Once the working set covers most of the senone inventory the
+    mixed path falls back to dense scoring; both scorers must yield
+    identical segments (per-frame normalization differences are
+    constant shifts that cancel in the Viterbi argmax)."""
+    raw = np.fromfile(f"{DATADIR}/goforward.raw", np.int16)
+    texts = ["go forward ten meters", "ten go", "forward meters",
+             "meters ten go forward"]
+    audios = [raw, raw[:25000], raw[:30000], raw]
+    base = aligner.align_batch(audios, texts)       # union scorer
+    uni = aligner._union_scorer([aligner.graph_for_text(t) for t in texts])
+    assert uni is not None                           # union path active
+    try:
+        aligner._uni["dense"] = True                 # force dense
+        dense = aligner.align_batch(audios, texts)
+    finally:
+        aligner._uni["dense"] = False
+    for a, b in zip(base, dense):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert [(s.word, s.start, s.duration) for s in a] == \
+                   [(s.word, s.start, s.duration) for s in b]
