@@ -107,3 +107,42 @@ def test_decoder_timing_and_logfile(tmp_path):
     d.set_logfile(None)
     log = open(logf).read()
     assert "xRT" in log and "HMMs" in log
+
+
+def test_defective_inputs_fail_cleanly():
+    """The reference's failure-path fixtures (tests/data/defective.*,
+    py/test/test_decoder.py test_decode_fail): bad inputs raise clean
+    Python errors — never crash, never silently succeed."""
+    import pytest
+
+    from soundswallower_tpu.aligner import TpuAligner
+    from soundswallower_tpu.decoder import Decoder
+
+    # grammar with a word missing from the dictionary
+    al = TpuAligner(hmm="/root/reference/model/en-us")
+    with pytest.raises((KeyError, ValueError, RuntimeError)):
+        al.set_grammar(
+            jsgf_file="/root/reference/tests/data/defective.gram")
+    with pytest.raises((KeyError, ValueError, RuntimeError)):
+        Decoder(hmm="/root/reference/model/en-us",
+                jsgf="/root/reference/tests/data/defective.gram")
+
+    # defective dictionary: lines whose phones are missing from the
+    # model are SKIPPED with an error log, not fatal (dict.c:214).
+    # defective.dic uses lowercase phones, which the default
+    # case-sensitive lookup rejects for EVERY word — loading succeeds
+    # with none of them, exactly like the C
+    al2 = TpuAligner(hmm="/root/reference/model/en-us",
+                     dict="/root/reference/tests/data/defective.dic")
+    for w in ("go", "forward", "ten", "degrees", "years"):
+        assert al2.dict.wordid(w) < 0
+    with pytest.raises((KeyError, RuntimeError)):
+        al2.align(np.zeros(8000, np.int16), "go forward")
+
+    # FSG whose dictionary lacks the words at a wrong sample rate
+    # (the reference's test_decode_fail shape)
+    with pytest.raises((KeyError, ValueError, RuntimeError)):
+        Decoder(hmm="/root/reference/model/en-us",
+                fsg="/root/reference/tests/data/goforward.fsg",
+                dict="/root/reference/tests/data/turtle.dic",
+                samprate=4000)
