@@ -10,9 +10,15 @@ This is the single-pass equivalent of the reference's two-pass alignment
 (see ops/align_graph.py for the argument); `tests/test_align_tpu.py`
 checks boundary agreement against the exact two-pass path.
 
-Batching: `align_batch` pads utterances to a common frame count and
-vmaps scoring + Viterbi when all transcripts share one graph; mixed
-transcripts fall back to per-utterance dispatch (graph padding TODO).
+Batching: same-transcript batches ride the graph-restricted scorer
+with the batch in the Viterbi's vector lanes; batches of DIFFERENT
+transcripts run as ONE multi-graph dispatch (working-set-union
+scoring + per-row banded Viterbi, _batch_begin_mixed).  Segment
+extraction runs in C++ (native/sst_seg.cpp) on the no-scores path.
+`use_mesh` shards batches over a ('data',) device mesh; `stream`,
+`align_longform_batch`, `decode`/`decode_batch`, and
+`decode_search`/`lattice`/`nbest` cover the streaming, long-form,
+grammar-decode, and history-table surfaces.
 """
 
 from __future__ import annotations
