@@ -146,3 +146,25 @@ def test_defective_inputs_fail_cleanly():
                 fsg="/root/reference/tests/data/goforward.fsg",
                 dict="/root/reference/tests/data/turtle.dic",
                 samprate=4000)
+
+
+def test_float32_audio_ingest_matches_int16():
+    """decoder_process_float32 semantics (fe_process_float32 scaling by
+    32768, dither off by default): float32 audio at exactly
+    int16/32768 must yield the identical alignment."""
+    from soundswallower_tpu.decoder import Decoder
+
+    i16 = np.fromfile("/root/reference/tests/data/goforward_fr.raw",
+                      np.int16)
+    f32 = (i16.astype(np.float32) / np.float32(32768.0))
+
+    def run(audio):
+        d = Decoder(hmm="/root/reference/model/fr-fr",
+                    dict="/root/reference/model/fr-fr/dict.txt")
+        d.set_align_text("avance de dix mètres")
+        d.start_utt()
+        d.process_raw(audio)
+        d.end_utt()
+        return [(s["word"], s["sf"], s["ef"]) for s in d.seg_iter()]
+
+    assert run(f32) == run(i16)
