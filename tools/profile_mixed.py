@@ -41,7 +41,8 @@ def main():
     sys.argv = [sys.argv[0]]
     from bench import make_mixed
     from soundswallower_tpu.aligner import TpuAligner, _gather_cols
-    from soundswallower_tpu.ops.senscore_jax import score_frames
+    from soundswallower_tpu.ops.senscore_jax import (score_frames,
+                                                     score_frames_graph)
 
     B = int(os.environ.get("PB", "64"))
     raw = np.fromfile("/root/reference/tests/data/goforward.raw",
@@ -53,7 +54,16 @@ def main():
     audio_sec = sum(len(a) for a in audios) / 16000.0
     graphs = [al.graph_for_text(t_) for t_ in texts]
 
-    st = al._stacked_graphs(graphs)
+    # union working-set scoring + remapped stacks, like the product
+    # path (the unrestricted dense [B*T, n_sen] route OOMs at B>=256;
+    # _union_scorer returns None when the working set covers most of
+    # the inventory, in which case dense IS the product path)
+    uni = al._union_scorer(graphs)
+    if uni is None:
+        st = al._stacked_graphs(graphs)
+    else:
+        st = al._stacked_graphs(graphs, remap=uni["pos"],
+                                remap_ver=uni["ver"])
     ns = np.array([len(a) for a in audios])
     Ts = np.array([al.fe.n_frames(int(n)) for n in ns])
     Tmax = max(64, -(-int(Ts.max()) // 64) * 64)
@@ -83,7 +93,10 @@ def main():
     flat = fv.reshape((-1,) + fv.shape[2:])
 
     def dense():
-        d = score_frames(al.tables, flat, "fold")
+        if uni is not None:
+            d = score_frames_graph(uni["gs"], flat, "fold")
+        else:
+            d = score_frames(al.tables, flat, "fold")
         jax.block_until_ready(d)
         return d
     d_dense = t(dense)
