@@ -11,6 +11,23 @@ completion (block_until_ready is dispatch-lazy on the tunnel runtime),
 and asserts bit-identical outputs.
 
 Run on the real TPU:  python tools/exp_score_fused.py
+
+RESULT (v5e, B=256 mixed workload, T=98304, Cu=17, S=256; r5):
+  current two-dispatch:  86.2 ms
+  fused lax.map C=256..4096: 137.6-146.1 ms (all bit-exact) — the
+  sequential block loop serializes what the wide dispatch overlaps;
+  XLA does not keep the block intermediates VMEM-resident enough to
+  win the HBM traffic back.  Further probes the same day:
+  - top-N taken-mask (current) 51.9 ms vs index-comparison masking
+    52.5 ms vs packed-int64 single-reduction 48.5 ms (exact): the
+    two-reductions-per-round structure is NOT the bound; +3 ms is
+    inside tunnel noise and not worth the int64 subtlety.
+  - folding [T, Cu, F, D] -> [T, Cu*F, D] (avoiding the assumed
+    sublane padding of F=3 -> 8): dist 29.1 -> 38.5 ms, top-N
+    52.2 -> 67.7 ms — SLOWER; the lowering does not pad the way the
+    tile model suggests, and the shape-sensitivity rule
+    (.claude/skills/verify) wins again.
+  Conclusion: the staged scorer stays as is.
 """
 import os
 import sys
